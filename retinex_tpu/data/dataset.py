@@ -1,0 +1,190 @@
+"""Host-side input pipeline: recursive file scan, threaded decode + letterbox,
+prefetched device batches.
+
+Replaces the reference's torch DataLoader pipeline (datasets/dataset.py):
+- `LowLightDataset` / `LowLightTestDataset` mirror the reference classes
+  (:21-183, :186-258): recursive scan for jpg/jpeg/png/bmp, PIL decode to RGB,
+  letterbox, [0,1] floats; unsupervised so no labels.
+- `get_train_loader` replaces get_train_dataloader (:261-300): a thread-pool
+  decode stage feeding fixed-shape uint8 batches; augmentation runs on device
+  (see data/augment.py) instead of in worker processes.
+
+NOTE(PARITY.md): the reference letterboxes training crops with auto=True
+(multiple-of-32 minimal padding, datasets/dataset.py:92-99), which yields
+ragged shapes for mixed-aspect datasets and only collates because typical
+datasets are uniform; we pad to the full square canvas (auto=False) so any
+dataset batches, and jit sees one static shape.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from retinex_tpu.ops.letterbox import letterbox_np, plan_letterbox
+
+VALID_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp"}
+VALID_EXTENSIONS_ENHANCE = VALID_EXTENSIONS | {".tif", ".tiff"}
+
+
+def list_image_files(image_dir: str, recursive: bool = True, extensions=VALID_EXTENSIONS) -> list[str]:
+    """Sorted recursive scan (reference: datasets/dataset.py:61-74)."""
+    files = []
+    if recursive:
+        for root, _dirs, names in os.walk(image_dir):
+            for name in names:
+                if os.path.splitext(name)[1].lower() in extensions:
+                    files.append(os.path.join(root, name))
+    else:
+        for name in os.listdir(image_dir):
+            if os.path.splitext(name)[1].lower() in extensions:
+                files.append(os.path.join(image_dir, name))
+    return sorted(files)
+
+
+def decode_image(path: str) -> np.ndarray:
+    """Decode to RGB uint8 HWC via PIL (reference: datasets/dataset.py:87)."""
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return np.asarray(img.convert("RGB"))
+
+
+class LowLightDataset:
+    """Training dataset: decode + letterbox to a square image_size canvas.
+
+    Augmentation happens on device (data/augment.py), so __getitem__ returns
+    the deterministic letterboxed uint8 image.
+    """
+
+    def __init__(self, image_dir: str, image_size: int = 640):
+        self.image_dir = image_dir
+        self.image_size = image_size
+        self.image_files = list_image_files(image_dir)
+        if not self.image_files:
+            raise ValueError(f"No images found in {image_dir}")
+
+    def __len__(self) -> int:
+        return len(self.image_files)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        img = decode_image(self.image_files[idx])
+        plan = plan_letterbox(
+            img.shape[0], img.shape[1], self.image_size, auto=False, scaleup=True
+        )
+        return letterbox_np(img, plan)
+
+
+class LowLightTestDataset:
+    """Test dataset: full-resolution (or max_size-capped) letterbox, no
+    augmentation; yields (image, filename) like the reference (:186-258)."""
+
+    def __init__(self, image_dir: str, max_size: int | None = None):
+        self.image_dir = image_dir
+        self.max_size = max_size
+        self.image_files = list_image_files(image_dir)
+        if not self.image_files:
+            raise ValueError(f"No images found in {image_dir}")
+
+    def __len__(self) -> int:
+        return len(self.image_files)
+
+    def __getitem__(self, idx: int):
+        img = decode_image(self.image_files[idx])
+        h, w = img.shape[:2]
+        if self.max_size is not None:
+            plan = plan_letterbox(h, w, self.max_size, auto=True, scaleup=False)
+        else:
+            plan = plan_letterbox(h, w, (h, w), auto=True, scaleup=False)
+        return letterbox_np(img, plan), os.path.basename(self.image_files[idx])
+
+
+class _PrefetchIterator:
+    """Threaded batch producer: decodes + letterboxes with a pool, assembles
+    uint8 NHWC batches, and keeps `prefetch` batches in flight."""
+
+    def __init__(self, dataset, order, batch_size, drop_last, num_workers, prefetch=2):
+        self.dataset = dataset
+        self.order = order
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+        self.q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self.thread = threading.Thread(target=self._produce, daemon=True)
+        self.thread.start()
+
+    def _produce(self):
+        n = len(self.order)
+        for start in range(0, n, self.batch_size):
+            idxs = self.order[start : start + self.batch_size]
+            if len(idxs) < self.batch_size and self.drop_last:
+                break
+            imgs = list(self.pool.map(self.dataset.__getitem__, idxs))
+            self.q.put(np.stack(imgs, axis=0))
+        self.q.put(None)
+        self.pool.shutdown(wait=False)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        batch = self.q.get()
+        if batch is None:
+            raise StopIteration
+        return batch
+
+
+class TrainLoader:
+    """Epoch-shuffled batch loader yielding uint8 NHWC numpy batches."""
+
+    def __init__(
+        self,
+        dataset: LowLightDataset,
+        batch_size: int = 8,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        return _PrefetchIterator(
+            self.dataset, list(order), self.batch_size, self.drop_last, self.num_workers
+        )
+
+
+def get_train_loader(
+    image_dir: str,
+    batch_size: int = 8,
+    image_size: int = 640,
+    num_workers: int = 4,
+    shuffle: bool = True,
+    drop_last: bool = False,
+    seed: int = 0,
+) -> TrainLoader:
+    """Mirror of get_train_dataloader (reference: datasets/dataset.py:261-300)."""
+    return TrainLoader(
+        LowLightDataset(image_dir, image_size),
+        batch_size=batch_size,
+        shuffle=shuffle,
+        drop_last=drop_last,
+        num_workers=num_workers,
+        seed=seed,
+    )

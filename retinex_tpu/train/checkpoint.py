@@ -1,0 +1,90 @@
+"""Checkpoint save/load via Orbax, plus reference `.pth` import.
+
+Covers and extends the reference's checkpointing (trainers/train.py:134-186):
+the reference saves only {epoch, model, optimizer} and loses scheduler/scaler/
+RNG/DWA state on resume (SURVEY.md §5); here the full train state — params,
+batch_stats, optimizer state, DWA loss history, dropout RNG, step — round-trips,
+so resume is exact. Layout: <save_dir>/{best,latest} Orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from retinex_tpu.losses.total import LossState
+
+
+def _state_to_pytree(state, epoch: int, best_loss: float) -> dict:
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "loss_prev": state.loss_state.prev,
+        "loss_prev2": state.loss_state.prev2,
+        "loss_step": state.loss_state.step,
+        "dropout_rng": jax.random.key_data(state.dropout_rng)
+        if jax.dtypes.issubdtype(state.dropout_rng.dtype, jax.dtypes.prng_key)
+        else state.dropout_rng,
+        "step": state.step,
+        "epoch": np.int64(epoch),
+        "best_loss": np.float64(best_loss),
+    }
+
+
+def save_checkpoint(state, save_dir: str, epoch: int, best_loss: float, is_best: bool):
+    """Save `latest` always and `best` when improved (reference semantics,
+    trainers/train.py:134-162)."""
+    os.makedirs(save_dir, exist_ok=True)
+    tree = _state_to_pytree(state, epoch, best_loss)
+    ckptr = ocp.StandardCheckpointer()
+    latest = os.path.join(os.path.abspath(save_dir), "latest")
+    ckptr.save(latest, tree, force=True)
+    if is_best:
+        ckptr.save(os.path.join(os.path.abspath(save_dir), "best"), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(state, path: str):
+    """Restore a checkpoint into an existing (template) train state.
+
+    Returns (state, start_epoch, best_loss); start_epoch = saved epoch + 1
+    (reference: trainers/train.py:183).
+    """
+    ckptr = ocp.StandardCheckpointer()
+    template = _state_to_pytree(state, 0, float("inf"))
+    restored = ckptr.restore(os.path.abspath(path), template)
+    new_state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        loss_state=LossState(
+            prev=restored["loss_prev"],
+            prev2=restored["loss_prev2"],
+            step=restored["loss_step"],
+        ),
+        dropout_rng=jax.random.wrap_key_data(restored["dropout_rng"])
+        if restored["dropout_rng"].dtype == np.uint32
+        else restored["dropout_rng"],
+        step=restored["step"],
+    )
+    return new_state, int(restored["epoch"]) + 1, float(restored["best_loss"])
+
+
+def load_params_for_inference(path: str) -> dict[str, Any]:
+    """Load only {params, batch_stats} for predict/enhance drivers.
+
+    Accepts either an Orbax checkpoint directory or a reference `.pth` file
+    (imported via models/convert.py)."""
+    if path.endswith(".pth"):
+        raise ValueError(
+            "For .pth reference checkpoints use "
+            "retinex_tpu.models.convert.load_reference_checkpoint(path, use_preact, use_aspp)"
+        )
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
