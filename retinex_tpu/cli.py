@@ -1,0 +1,173 @@
+"""Unified CLI: train / predict / enhance, mirroring the reference's surface.
+
+`retinex-tpu --mode {train,predict,enhance} ...` covers main.py (reference:
+main.py:20-269); `retinex-simple-enhance --input ... --output ...` mirrors the
+standalone simple_enhance.py (reference: simple_enhance.py:17-98). Both share
+one Config dataclass — no per-entry-point flag drift (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+from retinex_tpu.config import Config, add_config_args, config_from_args
+
+
+def _build_apply_fn(config: Config, require_checkpoint: bool):
+    """Construct the jitted model apply for inference.
+
+    Loads an Orbax checkpoint, a reference .pth (via the converter), or — for
+    enhance mode, like the reference (simple_enhance.py:66-68) — uses an
+    untrained model. Each distinct input shape compiles once and is cached.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+
+    model = MultiScaleUPRetinex(
+        use_preact=config.use_preact, use_aspp=config.use_aspp, dtype=config.compute_dtype
+    )
+
+    variables = None
+    ckpt = config.checkpoint
+    if ckpt and os.path.exists(ckpt):
+        if ckpt.endswith(".pth"):
+            from retinex_tpu.models.convert import load_reference_checkpoint
+
+            variables, epoch = load_reference_checkpoint(ckpt, config.use_preact, config.use_aspp)
+            print(f"Loaded reference checkpoint {ckpt} (epoch {epoch})")
+        else:
+            from retinex_tpu.train.checkpoint import load_params_for_inference
+
+            variables = load_params_for_inference(ckpt)
+            print(f"Loaded checkpoint {ckpt}")
+    elif require_checkpoint:
+        raise FileNotFoundError(
+            f"Checkpoint not found: {ckpt}. Train a model first or pass --checkpoint."
+        )
+    if variables is None:
+        print("Using untrained model weights (enhance mode default, like the reference)")
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+    @jax.jit
+    def apply_fn(batch):
+        return model.apply(variables, batch, train=False)
+
+    return apply_fn
+
+
+def run(config: Config):
+    if config.mode == "train":
+        os.makedirs(config.save_dir, exist_ok=True)
+        from retinex_tpu.train.trainer import train
+
+        for flag, label in [
+            (config.use_amp, "bf16 compute (AMP analog)"),
+            (config.use_freq_loss, "frequency loss"),
+            (config.adaptive_weights, "adaptive (DWA) loss weights"),
+            (config.use_preact, "pre-activation residual blocks"),
+            (config.use_aspp, "ASPP module"),
+            (config.advanced_augment, "advanced augmentation"),
+        ]:
+            if flag:
+                print(f"  + {label}")
+        return train(config)
+
+    if config.mode == "predict":
+        from retinex_tpu.infer.predict import predict_batch, predict_single_image
+
+        apply_fn = _build_apply_fn(config, require_checkpoint=True)
+        os.makedirs(config.output_dir, exist_ok=True)
+        input_path = Path(config.input_path)
+        if input_path.is_file():
+            return predict_single_image(
+                apply_fn,
+                str(input_path),
+                config.output_dir,
+                max_size=config.max_size,
+                save_comparison=not config.no_comparison,
+            )
+        if input_path.is_dir():
+            return predict_batch(
+                apply_fn,
+                str(input_path),
+                config.output_dir,
+                max_size=config.max_size,
+                save_comparison=not config.no_comparison,
+            )
+        raise FileNotFoundError(f"Input path does not exist: {config.input_path}")
+
+    if config.mode == "enhance":
+        from retinex_tpu.infer.enhance import enhance_batch_images, enhance_single_image
+
+        needs_net = config.classical_mode not in ("ssr", "msr", "msrcr")
+        apply_fn = _build_apply_fn(config, require_checkpoint=False) if needs_net else None
+        os.makedirs(config.output_dir, exist_ok=True)
+        input_path = Path(config.input_path)
+        if input_path.is_file():
+            return enhance_single_image(
+                apply_fn,
+                str(input_path),
+                config.output_dir,
+                max_size=config.max_size,
+                enable_multi_scale=config.multi_scale,
+                enable_content_aware=config.content_aware,
+                classical_mode=config.classical_mode,
+                use_pallas=config.use_pallas_clahe,
+            )
+        if input_path.is_dir():
+            return enhance_batch_images(
+                apply_fn,
+                str(input_path),
+                config.output_dir,
+                max_size=config.max_size,
+                classical_mode=config.classical_mode,
+                use_pallas=config.use_pallas_clahe,
+            )
+        raise FileNotFoundError(f"Input path does not exist: {config.input_path}")
+
+    raise ValueError(f"Unknown mode: {config.mode}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="retinex-tpu: TPU-native low-light image enhancement (UP-Retinex capabilities)"
+    )
+    add_config_args(parser)
+    args = parser.parse_args(argv)
+    config = config_from_args(args)
+    print(f"Mode: {config.mode}")
+    return run(config)
+
+
+def simple_enhance_main(argv=None):
+    """Mirror of the reference's standalone simple_enhance.py CLI."""
+    parser = argparse.ArgumentParser(description="Simple enhance (no training required)")
+    parser.add_argument("--input", type=str, required=True)
+    parser.add_argument("--output", type=str, default="./results")
+    parser.add_argument("--max_size", type=int, default=None)
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--multi_scale", action="store_true")
+    parser.add_argument("--content_aware", action="store_true")
+    parser.add_argument("--classical", type=str, default=None, choices=["ssr", "msr", "msrcr"])
+    args = parser.parse_args(argv)
+    config = Config(
+        mode="enhance",
+        input_path=args.input,
+        output_dir=args.output,
+        max_size=args.max_size,
+        multi_scale=args.multi_scale,
+        content_aware=args.content_aware,
+        classical_mode=args.classical,
+        checkpoint="",  # untrained net, reference behavior (simple_enhance.py:66-68)
+        use_preact=True,
+        use_aspp=True,
+    )
+    return run(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""One shared configuration dataclass for every entry point.
+
+The reference has four drifting argparse parsers (main.py:25-117,
+trainers/train.py:400-456, predictors/predict.py:239-262,
+simple_enhance.py:18-42) papered over with getattr guards (SURVEY.md §5).
+Here a single `Config` covers train/predict/enhance; the CLI maps flags 1:1
+onto it, and library users construct it directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Config:
+    # Mode
+    mode: str = "predict"  # train | predict | enhance
+
+    # Paths (reference: main.py:32-43)
+    train_dir: str = "./data/train"
+    test_dir: str = "./data/test"
+    input_path: str = "./data/test"
+    output_dir: str = "./results"
+    checkpoint: str = "./checkpoints/best"
+    save_dir: str = "./checkpoints"
+
+    # Training hyperparameters (reference: main.py:46-57)
+    num_epochs: int = 100
+    batch_size: int = 8
+    image_size: int = 640
+    lr: float = 1e-4
+    weight_decay: float = 1e-5
+    resume: str | None = None
+    num_workers: int = 4
+    lr_decay_step: int = 30
+    lr_decay_gamma: float = 0.5
+    save_freq: int = 10
+    seed: int = 0
+
+    # Loss weights (reference: main.py:60-73)
+    weight_exp: float = 10.0
+    weight_smooth: float = 1.0
+    weight_col: float = 0.5
+    weight_spa: float = 1.0
+    weight_decouple: float = 0.1
+    weight_perceptual: float = 1.0
+    weight_freq: float = 0.5
+
+    # Inference (reference: main.py:76-81)
+    max_size: int | None = None
+    no_comparison: bool = False
+    device: str | None = None
+
+    # Enhance toggles (reference: main.py:84-87)
+    multi_scale: bool = False
+    content_aware: bool = False
+
+    # Advanced toggles (reference: main.py:100-115)
+    use_amp: bool = False  # on TPU this selects bf16 compute
+    patience: int = 20
+    use_cosine_scheduler: bool = False
+    use_freq_loss: bool = False
+    adaptive_weights: bool = False
+    use_preact: bool = False
+    use_aspp: bool = False
+    advanced_augment: bool = False
+
+    # TPU-native extensions (no reference analog)
+    use_perceptual_loss: bool = True
+    vgg_weights: str | None = None  # .npz exported from torchvision (models/vgg.py)
+    n_devices: int | None = None  # data-parallel mesh size (default: all)
+    profile_dir: str | None = None  # jax.profiler trace output
+    classical_mode: str | None = None  # ssr | msr | msrcr classical enhance
+    use_pallas_clahe: bool = True  # Pallas CLAHE kernel on TPU, jnp fallback elsewhere
+    log_every: int = 100  # batches between TB scalar writes (reference: 100)
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.use_amp else jnp.float32
+
+
+def add_config_args(parser, config: Config | None = None):
+    """Register every Config field as a --flag on an argparse parser."""
+    defaults = config or Config()
+    for f in dataclasses.fields(Config):
+        name = f"--{f.name}"
+        default = getattr(defaults, f.name)
+        if f.type == "bool" or isinstance(default, bool):
+            import argparse
+
+            parser.add_argument(
+                name,
+                action=argparse.BooleanOptionalAction,
+                default=default,
+                help=f"(default: {default})",
+            )
+        else:
+            tstr = str(f.type)
+            if default is not None:
+                typ = type(default)
+            elif "int" in tstr:
+                typ = int
+            elif "float" in tstr:
+                typ = float
+            else:
+                typ = str
+            parser.add_argument(name, type=typ, default=default, help=f"(default: {default})")
+    return parser
+
+
+def config_from_args(args) -> Config:
+    """Build a Config from parsed argparse namespace (unknown attrs ignored)."""
+    kwargs = {}
+    for f in dataclasses.fields(Config):
+        if hasattr(args, f.name):
+            kwargs[f.name] = getattr(args, f.name)
+    return Config(**kwargs)

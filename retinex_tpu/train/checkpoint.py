@@ -31,8 +31,8 @@ def _state_to_pytree(state, epoch: int, best_loss: float) -> dict:
         if jax.dtypes.issubdtype(state.dropout_rng.dtype, jax.dtypes.prng_key)
         else state.dropout_rng,
         "step": state.step,
-        "epoch": np.int64(epoch),
-        "best_loss": np.float64(best_loss),
+        "epoch": np.asarray(epoch, np.int64),
+        "best_loss": np.asarray(best_loss, np.float64),
     }
 
 

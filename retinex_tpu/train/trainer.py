@@ -1,0 +1,213 @@
+"""The training driver: epochs, early stopping, checkpoints, observability.
+
+Mirrors the reference training flow (trainers/train.py:189-396) TPU-first:
+- one jitted train step (forward + 7 losses + clipped Adam update) sharded
+  data-parallel over the mesh; bf16 compute replaces CUDA AMP;
+- loss scalars stay on device and are fetched once per log interval — the
+  reference does 8 blocking .item() syncs per batch (SURVEY.md §3.1);
+- early stopping on epoch-mean total loss with patience (reference :270-274,
+  :360-381), best/latest Orbax checkpoints (:134-162), sample visualizations
+  every 10 epochs (:335-336), loss curves + results.csv at the end (:388-392),
+  TB scalars every `log_every` batches and per epoch (:119-122, :356-358).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retinex_tpu.config import Config
+from retinex_tpu.data.augment import augment_batch
+from retinex_tpu.data.dataset import get_train_loader
+from retinex_tpu.losses.total import LossConfig, TotalLoss
+from retinex_tpu.models.retinex_net import MultiScaleUPRetinex, count_parameters
+from retinex_tpu.models.vgg import VGG19Features, load_npz
+from retinex_tpu.parallel.mesh import create_mesh, pad_to_multiple, shard_batch
+from retinex_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from retinex_tpu.train.schedules import cosine_warm_restarts, step_decay
+from retinex_tpu.train.train_state import create_train_state, make_train_step
+from retinex_tpu.utils.logging import MetricLogger, save_loss_curves, save_results_to_csv
+from retinex_tpu.utils.viz import visualize_results
+
+LOG_KEYS = ("total", "exposure", "smoothness", "color", "spatial", "decouple", "perceptual", "frequency")
+
+
+def build_vgg_apply(config: Config):
+    """Bound VGG19-features apply for the perceptual loss; deterministic He
+    init unless the user supplies exported torchvision weights."""
+    if not config.use_perceptual_loss:
+        return None
+    model = VGG19Features(dtype=config.compute_dtype)
+    if config.vgg_weights:
+        variables = load_npz(config.vgg_weights)
+    else:
+        variables = model.init(jax.random.PRNGKey(42), jnp.zeros((1, 32, 32, 3)))
+    params = jax.lax.stop_gradient(variables["params"])
+    return lambda x: model.apply({"params": params}, x)
+
+
+def build_criterion(config: Config) -> TotalLoss:
+    loss_cfg = LossConfig(
+        weight_exp=config.weight_exp,
+        weight_smooth=config.weight_smooth,
+        weight_col=config.weight_col,
+        weight_spa=config.weight_spa,
+        weight_decouple=config.weight_decouple,
+        weight_perceptual=config.weight_perceptual,
+        weight_freq=config.weight_freq,
+        use_freq_loss=config.use_freq_loss,
+        use_perceptual_loss=config.use_perceptual_loss,
+        adaptive_weights=config.adaptive_weights,
+    )
+    return TotalLoss(loss_cfg, vgg_apply=build_vgg_apply(config))
+
+
+def train(config: Config) -> dict:
+    """Run training; returns {'best_loss', 'epochs_run', 'save_dir'}."""
+    mesh = create_mesh(config.n_devices)
+    n_dev = mesh.devices.size
+    print(f"Training on {n_dev} device(s): {mesh}")
+
+    model = MultiScaleUPRetinex(
+        use_preact=config.use_preact, use_aspp=config.use_aspp, dtype=config.compute_dtype
+    )
+    criterion = build_criterion(config)
+
+    if config.use_cosine_scheduler:
+        epoch_schedule = cosine_warm_restarts(config.lr)
+    else:
+        epoch_schedule = step_decay(config.lr, config.lr_decay_step, config.lr_decay_gamma)
+
+    loader = get_train_loader(
+        image_dir=config.train_dir,
+        batch_size=config.batch_size,
+        image_size=config.image_size,
+        num_workers=config.num_workers,
+        shuffle=True,
+        seed=config.seed,
+    )
+    steps_per_epoch = max(len(loader), 1)
+    print(f"{len(loader.dataset)} images, {steps_per_epoch} batches/epoch")
+
+    # The reference steps its scheduler per *epoch*; express that as a
+    # per-step optax schedule.
+    lr_schedule = lambda step: epoch_schedule(step // steps_per_epoch)  # noqa: E731
+
+    rng = jax.random.PRNGKey(config.seed)
+    state = create_train_state(
+        model,
+        rng,
+        (config.batch_size, config.image_size, config.image_size, 3),
+        lr_schedule,
+        weight_decay=config.weight_decay,
+    )
+    print(f"Model parameters: {count_parameters(state.params):,}")
+
+    start_epoch, best_loss = 0, float("inf")
+    if config.resume:
+        state, start_epoch, best_loss = load_checkpoint(state, config.resume)
+        print(f"Resumed from {config.resume} at epoch {start_epoch}")
+
+    train_step = make_train_step(model, criterion, mesh=mesh)
+
+    log_dir = os.path.join(config.save_dir, "logs", datetime.now().strftime("%Y%m%d_%H%M%S"))
+    logger = MetricLogger(log_dir)
+    print(f"Logs: {log_dir}")
+
+    loss_history: dict[str, list[float]] = {k: [] for k in LOG_KEYS}
+    aug_rng = jax.random.PRNGKey(config.seed + 1)
+    patience_counter = 0
+    epochs_run = 0
+
+    if config.profile_dir:
+        jax.profiler.start_trace(config.profile_dir)
+
+    for epoch in range(start_epoch, config.num_epochs):
+        epoch_start = time.time()
+        epoch_sums: dict[str, float] = {k: 0.0 for k in LOG_KEYS}
+        num_batches = 0
+
+        for batch_idx, host_batch in enumerate(loader):
+            host_batch, _ = pad_to_multiple(host_batch, n_dev)
+            batch = shard_batch(host_batch.astype(np.float32) / 255.0, mesh)
+            aug_rng, step_rng = jax.random.split(aug_rng)
+            batch = augment_batch(step_rng, batch, basic=True, advanced=config.advanced_augment)
+            state, loss_dict = train_step(state, batch)
+            num_batches += 1
+
+            # Fetch scalars only at the logging interval (one device sync).
+            if batch_idx % config.log_every == 0:
+                fetched = {k: float(v) for k, v in loss_dict.items()}
+                global_step = epoch * steps_per_epoch + batch_idx
+                logger.add_scalars("Loss", fetched, global_step)
+            for k in LOG_KEYS:
+                if k in loss_dict:
+                    epoch_sums[k] += loss_dict[k]  # device-side accumulation
+
+        avg_losses = {k: float(v) / max(num_batches, 1) for k, v in epoch_sums.items()}
+        for k, v in avg_losses.items():
+            loss_history[k].append(v)
+
+        current_lr = float(epoch_schedule(epoch))
+        logger.add_scalar("Learning_Rate", current_lr, epoch)
+        logger.add_scalars("Epoch_Loss", avg_losses, epoch)
+
+        epoch_time = time.time() - epoch_start
+        print(
+            f"Epoch {epoch}: time {epoch_time:.2f}s lr {current_lr:.6f} "
+            + " ".join(f"{k}={v:.4f}" for k, v in avg_losses.items())
+        )
+
+        if epoch % 10 == 0:
+            _save_sample_visualizations(model, state, loader, mesh, epoch, config.save_dir)
+
+        current = avg_losses["total"]
+        if current < best_loss:
+            best_loss = current
+            patience_counter = 0
+            is_best = True
+            print(f"  new best loss: {best_loss:.6f}")
+        else:
+            patience_counter += 1
+            is_best = False
+            print(f"  patience: {patience_counter}/{config.patience}")
+
+        save_checkpoint(state, config.save_dir, epoch, best_loss, is_best)
+        epochs_run = epoch + 1
+
+        if patience_counter >= config.patience:
+            print(f"Early stopping after {epoch + 1} epochs (best {best_loss:.6f})")
+            break
+
+    if config.profile_dir:
+        jax.profiler.stop_trace()
+
+    logger.close()
+    save_loss_curves(loss_history, config.save_dir)
+    save_results_to_csv(loss_history, config.save_dir)
+    print(f"Training completed. Best loss: {best_loss:.6f}. Models in {config.save_dir}")
+    return {"best_loss": best_loss, "epochs_run": epochs_run, "save_dir": config.save_dir}
+
+
+def _save_sample_visualizations(model, state, loader, mesh, epoch, save_dir):
+    """Sample grids every 10 epochs (reference: trainers/train.py:474-517)."""
+    vis_dir = os.path.join(save_dir, "visualizations")
+    os.makedirs(vis_dir, exist_ok=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    for batch_idx, host_batch in enumerate(loader):
+        if batch_idx >= 2:
+            break
+        batch = jnp.asarray(host_batch[:2].astype(np.float32) / 255.0)
+        enhanced, _refl, illu = model.apply(variables, batch, train=False)
+        for i in range(min(2, batch.shape[0])):
+            visualize_results(
+                batch[i],
+                enhanced[i],
+                illu[i],
+                save_path=os.path.join(vis_dir, f"epoch_{epoch}_batch_{batch_idx}_sample_{i}.png"),
+            )
