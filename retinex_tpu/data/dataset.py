@@ -104,15 +104,24 @@ class LowLightTestDataset:
 
 
 class _PrefetchIterator:
-    """Threaded batch producer: decodes + letterboxes with a pool, assembles
-    uint8 NHWC batches, and keeps `prefetch` batches in flight."""
+    """Threaded batch producer: decodes + letterboxes via the native C++
+    pipeline when available (no GIL, libjpeg-turbo SIMD — see
+    data/native_loader.py), else a Python thread pool; keeps `prefetch`
+    batches in flight."""
 
     def __init__(self, dataset, order, batch_size, drop_last, num_workers, prefetch=2):
         self.dataset = dataset
         self.order = order
         self.batch_size = batch_size
         self.drop_last = drop_last
-        self.pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+        self.num_workers = max(num_workers, 1)
+        try:
+            from retinex_tpu.data.native_loader import native_available
+
+            self.use_native = isinstance(dataset, LowLightDataset) and native_available()
+        except Exception:
+            self.use_native = False
+        self.pool = None if self.use_native else ThreadPoolExecutor(max_workers=self.num_workers)
         self.q: queue.Queue = queue.Queue(maxsize=prefetch)
         self.thread = threading.Thread(target=self._produce, daemon=True)
         self.thread.start()
@@ -123,10 +132,24 @@ class _PrefetchIterator:
             idxs = self.order[start : start + self.batch_size]
             if len(idxs) < self.batch_size and self.drop_last:
                 break
-            imgs = list(self.pool.map(self.dataset.__getitem__, idxs))
-            self.q.put(np.stack(imgs, axis=0))
+            if self.use_native:
+                from retinex_tpu.data.native_loader import decode_letterbox_batch
+
+                paths = [self.dataset.image_files[i] for i in idxs]
+                batch = decode_letterbox_batch(
+                    paths,
+                    self.dataset.image_size,
+                    auto_pad=False,
+                    scaleup=True,
+                    num_threads=self.num_workers,
+                )
+            else:
+                imgs = list(self.pool.map(self.dataset.__getitem__, idxs))
+                batch = np.stack(imgs, axis=0)
+            self.q.put(batch)
         self.q.put(None)
-        self.pool.shutdown(wait=False)
+        if self.pool is not None:
+            self.pool.shutdown(wait=False)
 
     def __iter__(self):
         return self

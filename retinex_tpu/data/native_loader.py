@@ -1,0 +1,96 @@
+"""ctypes binding for the native C++ image pipeline (native/retinex_native.cpp).
+
+Decode (libjpeg-turbo/libpng) + letterbox + batch assembly run in C++ threads —
+no GIL, no worker processes (the TPU-native replacement for the reference's
+torch DataLoader pool, datasets/dataset.py:291-298). Falls back transparently
+to the PIL path when the shared library isn't built.
+
+Build: `make -C native` (the loader also tries to build on first use).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libretinex_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_load_failed = False
+
+
+def _load():
+    global _lib, _load_failed
+    with _lib_lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR], check=True, capture_output=True, timeout=120
+                )
+            except Exception:
+                _load_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.rtx_decode_letterbox_batch.restype = ctypes.c_int
+            lib.rtx_decode_letterbox_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            _lib = lib
+        except Exception:
+            _load_failed = True
+            return None
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def decode_letterbox_batch(
+    paths: list[str],
+    image_size: int,
+    auto_pad: bool = False,
+    scaleup: bool = True,
+    num_threads: int = 8,
+) -> np.ndarray:
+    """Decode + letterbox `paths` into a [N, image_size, image_size, 3] uint8
+    NHWC batch using the C++ pipeline. Raises RuntimeError if unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader not available (build native/ first)")
+    n = len(paths)
+    out = np.empty((n, image_size, image_size, 3), dtype=np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    ok = lib.rtx_decode_letterbox_batch(
+        arr,
+        n,
+        image_size,
+        1 if auto_pad else 0,
+        1 if scaleup else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        image_size,
+        image_size,
+        num_threads,
+    )
+    if ok < n:
+        import warnings
+
+        warnings.warn(f"native loader: {n - ok}/{n} images failed to decode (gray-filled)")
+    return out

@@ -163,7 +163,11 @@ def clahe_lab_rgb(
 
         l_eq = clahe_u8_pallas(l_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles)
     else:
-        l_eq = clahe_u8(l_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles)
+        # The MXU nibble-decomposed path (bit-compatible, ~60x faster on TPU);
+        # falls back to the gather-based reference for non-cell-divisible shapes.
+        from retinex_tpu.ops.clahe_fast import clahe_u8_fast
+
+        l_eq = clahe_u8_fast(l_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles)
     # a/b channels round through uint8 exactly as cv2.split/merge does.
     a_u8 = jnp.clip(jnp.round(lab[..., 1]), 0, 255)
     b_u8 = jnp.clip(jnp.round(lab[..., 2]), 0, 255)

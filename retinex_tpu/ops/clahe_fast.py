@@ -1,0 +1,165 @@
+"""MXU-friendly CLAHE: nibble-decomposed histograms and LUT application.
+
+The straightforward jnp CLAHE (ops/clahe.py) is gather-bound on TPU (~80ms per
+1080p frame: 4 per-pixel LUT gathers serialize on the scalar path). This
+module reformulates both stages as dense one-hot algebra the MXU/VPU execute
+well, with NO per-pixel gathers:
+
+- A pixel value v in [0,256) splits into nibbles v = 16*hi + lo. The 256-wide
+  one-hot of v is the outer product of two 16-wide one-hots — 32 vector
+  compares per pixel instead of 256.
+- Tile histogram: hist[16i+j] = sum_p hi_oh[p,i] * lo_oh[p,j]
+  = hi_oh^T @ lo_oh — one [16,A]x[A,16] matmul per tile on the MXU.
+- LUT evaluation: lut[v] = hi_oh[p,:] @ LUT16x16 @ lo_oh[p,:]^T — a [A,16]
+  matmul plus a 16-wide row-dot per pixel.
+- Bilinear tile interpolation: the image is cut into half-tile "cells"; within
+  a cell the 4 neighbouring tile LUTs are FIXED, and the (xa, ya) interpolation
+  weights depend only on the pixel offset inside the cell and the cell parity —
+  a static [2, cell] table. So the 4 LUT evaluations + blend are uniform dense
+  math per cell.
+
+Bit-identical to ops/clahe.clahe_u8 (and hence to OpenCV on the L channel)
+whenever H is divisible by 2*tiles_y and W by 2*tiles_x; other shapes fall back.
+one-hots are exact in bf16 and LUT values (<=255) are exactly representable,
+so MXU bf16 passes lose nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from retinex_tpu.ops.clahe import HIST_SIZE, _tile_luts, clahe_u8
+
+
+def _nibble_onehots(v: jnp.ndarray):
+    """v int32 [..., P] -> (hi_oh, lo_oh) bf16 [..., P, 16]."""
+    iota = jnp.arange(16, dtype=jnp.int32)
+    hi = v >> 4
+    lo = v & 15
+    hi_oh = (hi[..., None] == iota).astype(jnp.bfloat16)
+    lo_oh = (lo[..., None] == iota).astype(jnp.bfloat16)
+    return hi_oh, lo_oh
+
+
+def _neighbor_index_tables(tiles: int) -> tuple[np.ndarray, np.ndarray]:
+    """For cell index c in [0, 2*tiles): the two neighbouring tile indices
+    (floor and floor+1 of the interpolation coordinate), clipped."""
+    c = np.arange(2 * tiles)
+    t0 = np.clip((c - 1) // 2, 0, tiles - 1)
+    t1 = np.clip((c - 1) // 2 + 1, 0, tiles - 1)
+    return t0, t1
+
+
+def _blend_weights(cell: int) -> np.ndarray:
+    """[2, cell] fractional interpolation weight by (cell parity, offset):
+    even cells sit in the upper half of a tile (weight 0.5..1), odd in the
+    lower half (0..0.5). Matches txf = x/tile - 0.5 fractional parts."""
+    u = np.arange(cell, dtype=np.float32)
+    even = u / (2.0 * cell) + 0.5
+    odd = u / (2.0 * cell)
+    return np.stack([even, odd], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y"))
+def clahe_u8_fast(
+    img_u8: jnp.ndarray,
+    clip_limit: float = 2.0,
+    tiles_x: int = 8,
+    tiles_y: int = 8,
+) -> jnp.ndarray:
+    """Drop-in replacement for clahe_u8 on cell-divisible shapes."""
+    squeeze = img_u8.ndim == 2
+    if squeeze:
+        img_u8 = img_u8[None]
+    b, h, w = img_u8.shape
+    if h % (2 * tiles_y) != 0 or w % (2 * tiles_x) != 0:
+        out = clahe_u8(img_u8, clip_limit, tiles_x, tiles_y)
+        return out[0] if squeeze else out
+
+    v = img_u8.astype(jnp.int32)
+    th, tw = h // tiles_y, w // tiles_x
+    hh, hw = th // 2, tw // 2
+    tile_area = th * tw
+    ncy, ncx = 2 * tiles_y, 2 * tiles_x
+
+    # One-hot nibbles are computed ONCE on the half-tile cell grid and reused
+    # by both stages (tile histograms = sums of the 4 cell histograms).
+    cells = v.reshape(b, ncy, hh, ncx, hw).transpose(0, 1, 3, 2, 4)
+    cells = cells.reshape(b, ncy, ncx, hh * hw)
+    chi, clo = _nibble_onehots(cells)  # [b,cy,cx,P,16]
+
+    # ---- Stage 1: per-cell nibble outer products on the MXU -> tile hists ----
+    cell_hist = jnp.einsum(
+        "bcdpi,bcdpj->bcdij", chi, clo, preferred_element_type=jnp.float32
+    )  # [b,cy,cx,16,16]
+    hist16 = (
+        cell_hist.reshape(b, tiles_y, 2, tiles_x, 2, 16, 16).sum(axis=(2, 4))
+    )
+    hist = hist16.reshape(b, tiles_y, tiles_x, HIST_SIZE).astype(jnp.int32)
+
+    # ---- Stage 2: OpenCV clip/redistribute + CDF LUTs (tiny, exact) ----
+    luts = _luts_from_hist(hist, clip_limit, tile_area)  # [b,ty,tx,256] int32
+    luts16 = luts.reshape(b, tiles_y, tiles_x, 16, 16).astype(jnp.bfloat16)
+
+    # ---- Stage 3: per-cell LUT evaluation + separable bilinear blend ----
+    t0y, t1y = _neighbor_index_tables(tiles_y)
+    t0x, t1x = _neighbor_index_tables(tiles_x)
+    # Static tile->cell LUT gathers (tiny: [b, ncy, ncx, 16, 16] each).
+    lut00 = luts16[:, t0y][:, :, t0x]
+    lut01 = luts16[:, t0y][:, :, t1x]
+    lut10 = luts16[:, t1y][:, :, t0x]
+    lut11 = luts16[:, t1y][:, :, t1x]
+
+    def eval_lut(lut):
+        # [P,16]x[16,16] "matmul" + row-dot; XLA fuses both contractions into
+        # one elementwise-reduce kernel (measured faster than a real MXU dot
+        # at N=16 — no [P,16] intermediate ever hits HBM).
+        t = jnp.einsum("bcdpi,bcdij->bcdpj", chi, lut, preferred_element_type=jnp.bfloat16)
+        return jnp.einsum("bcdpj,bcdpj->bcdp", t, clo, preferred_element_type=jnp.float32)
+
+    l00 = eval_lut(lut00)
+    l01 = eval_lut(lut01)
+    l10 = eval_lut(lut10)
+    l11 = eval_lut(lut11)
+
+    wx_tab = jnp.asarray(_blend_weights(hw))  # [2, hw]
+    wy_tab = jnp.asarray(_blend_weights(hh))  # [2, hh]
+    xa = wx_tab[jnp.arange(ncx) % 2]  # [ncx, hw]
+    ya = wy_tab[jnp.arange(ncy) % 2]  # [ncy, hh]
+    xa_full = jnp.broadcast_to(xa[None, None, :, None, :], (b, ncy, ncx, hh, hw))
+    ya_full = jnp.broadcast_to(ya[None, :, None, :, None], (b, ncy, ncx, hh, hw))
+    xa_full = xa_full.reshape(b, ncy, ncx, hh * hw)
+    ya_full = ya_full.reshape(b, ncy, ncx, hh * hw)
+
+    # Same multiply arrangement as the gather-based reference so float rounding
+    # at .5 ties matches it bit-for-bit.
+    top = l00 * (1.0 - xa_full) + l01 * xa_full
+    bot = l10 * (1.0 - xa_full) + l11 * xa_full
+    out = jnp.clip(jnp.round(top * (1.0 - ya_full) + bot * ya_full), 0, 255).astype(jnp.int32)
+
+    out = out.reshape(b, ncy, ncx, hh, hw).transpose(0, 1, 3, 2, 4)
+    out = out.reshape(b, h, w)
+    return out[0] if squeeze else out
+
+
+def _luts_from_hist(hist: jnp.ndarray, clip_limit: float, tile_area: int) -> jnp.ndarray:
+    """OpenCV clip/redistribute/CDF on precomputed histograms
+    (same math as ops/clahe._tile_luts, which starts from raw pixels)."""
+    clip = max(int(clip_limit * tile_area / HIST_SIZE), 1)
+    bins = jnp.arange(HIST_SIZE, dtype=jnp.int32)
+    clipped = jnp.minimum(hist, clip)
+    excess = jnp.sum(hist - clipped, axis=-1, keepdims=True)
+    redist = excess // HIST_SIZE
+    residual = excess - redist * HIST_SIZE
+    hist2 = clipped + redist
+    step = jnp.maximum(HIST_SIZE // jnp.maximum(residual, 1), 1)
+    gets_one = (bins % step == 0) & (bins // step < residual)
+    hist3 = hist2 + gets_one.astype(jnp.int32)
+    cdf = jnp.cumsum(hist3, axis=-1)
+    lut_scale = float(HIST_SIZE - 1) / float(tile_area)
+    return jnp.clip(jnp.round(cdf.astype(jnp.float32) * lut_scale), 0, 255).astype(jnp.int32)

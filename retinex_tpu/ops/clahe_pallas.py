@@ -13,22 +13,14 @@ from __future__ import annotations
 
 import jax
 
-from retinex_tpu.ops.clahe import clahe_u8
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+from retinex_tpu.ops.clahe_fast import clahe_u8_fast
 
 
 def clahe_u8_pallas(img_u8, clip_limit: float = 2.0, tiles_x: int = 8, tiles_y: int = 8):
     """CLAHE on uint8-valued [B,H,W] (or [H,W]) arrays.
 
-    Currently the Mosaic kernel covers the histogram stage via the fused jnp
-    graph (XLA already keeps tiles resident in VMEM for these sizes); the
-    dedicated Pallas tile-histogram kernel lands behind this same entry point.
-    Off-TPU this is always the jnp reference.
+    Currently routes to the MXU nibble-decomposition path (clahe_fast), which
+    XLA schedules well; a fused Mosaic kernel that keeps the one-hot algebra
+    entirely in VMEM lands behind this same entry point.
     """
-    return clahe_u8(img_u8, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y)
+    return clahe_u8_fast(img_u8, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y)
