@@ -129,6 +129,17 @@ def run(config: Config):
             )
         raise FileNotFoundError(f"Input path does not exist: {config.input_path}")
 
+    if config.mode == "evaluate":
+        from retinex_tpu.infer.evaluate import evaluate_directory
+
+        ref_dir = config.test_dir if os.path.isdir(config.test_dir) else None
+        os.makedirs(config.output_dir, exist_ok=True)
+        return evaluate_directory(
+            config.input_path,
+            reference_dir=ref_dir,
+            output_csv=os.path.join(config.output_dir, "metrics.csv"),
+        )
+
     raise ValueError(f"Unknown mode: {config.mode}")
 
 

@@ -15,7 +15,7 @@ import dataclasses
 @dataclasses.dataclass
 class Config:
     # Mode
-    mode: str = "predict"  # train | predict | enhance
+    mode: str = "predict"  # train | predict | enhance | evaluate
 
     # Paths (reference: main.py:32-43)
     train_dir: str = "./data/train"

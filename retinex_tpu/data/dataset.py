@@ -193,6 +193,29 @@ class TrainLoader:
         )
 
 
+class TestLoader:
+    """Sequential (image, name) iterator over a test directory — the analog of
+    get_test_dataloader (reference: datasets/dataset.py:303-332). Batch size is
+    1 because test images keep their own letterboxed shapes."""
+
+    def __init__(self, dataset: "LowLightTestDataset", num_workers: int = 2):
+        self.dataset = dataset
+        self.num_workers = num_workers
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __iter__(self):
+        for i in range(len(self.dataset)):
+            img, name = self.dataset[i]
+            yield img[None], name
+
+
+def get_test_loader(image_dir: str, max_size: int | None = None, num_workers: int = 2) -> TestLoader:
+    """Mirror of get_test_dataloader (reference: datasets/dataset.py:303-332)."""
+    return TestLoader(LowLightTestDataset(image_dir, max_size), num_workers)
+
+
 def get_train_loader(
     image_dir: str,
     batch_size: int = 8,
