@@ -1,24 +1,26 @@
 """Fused Mosaic/Pallas CLAHE: Lab colorspace + tile histograms + LUT apply,
-with all one-hot algebra resident in VMEM.
+with the one-hot algebra resident in VMEM.
 
-Two kernels over pre-cellized planar layouts (the only HBM traffic is the
-image itself plus uint8-scale Lab planes):
+Layout strategy: the image is cellized ONCE in XLA to half-tile cells
+[B, ncy, ncx, 3, P] (P = cell pixels on the lane axis; channels lead), and all
+kernels consume/produce that layout — so the only HBM glue is one cellize of
+the input and one de-cellize of the output.
 
-- `_hist_kernel` — grid (B, tiles): RGB tile -> sRGB de-gamma -> XYZ -> Lab
-  (8-bit scale), quantize, nibble one-hot transposes [16, area] in VMEM, tile
-  histogram as ONE [16,area]x[area,16] MXU contraction. Emits Lab planes +
-  histograms.
-- `_apply_kernel` — grid (B, cells): per half-tile cell, evaluate the 4
-  neighbour LUTs as lutT @ hi_ohT MXU dots + lo-nibble row-dots, bilinearly
-  blend with the static (parity, offset) weight tables, then inverse Lab ->
-  RGB in-register.
+- `_hist_kernel` — grid (B, tiles_y, tiles_x), block = one tile's 2x2 cells:
+  sRGB de-gamma -> XYZ -> Lab (8-bit scale) in-register, quantize, nibble
+  one-hot transposes [16, P] in VMEM, tile histogram as four [16,P]x[P,16] MXU
+  contractions (one per cell). Emits Lab cells + histograms.
+- `_apply_kernel` — grid (B, ncy, ncx/GROUP), block = GROUP consecutive cells:
+  per cell, evaluate the 4 neighbour LUTs as lutT @ hi_ohT MXU dots + a
+  lo-nibble row-dot, blend with the static (parity, offset) weights, then
+  inverse Lab -> RGB in-register. GROUP cells per program amortizes the
+  per-program DMA/setup cost.
 
-The LUT build between them (clip/redistribute/CDF over [B,T,256]) is a few KB
-of work and stays in XLA.
+The LUT build between them (clip/redistribute/CDF over [B,T,256]) stays in XLA.
 
-Bit-compatible with ops/clahe_fast (and cv2 within float-tie rounding).
-Requires H % (2*tiles_y) == 0 and W % (2*tiles_x) == 0; other shapes raise
-(callers fall back to clahe_fast/clahe_u8 upstream).
+Bit-compatible with ops/clahe_fast (and cv2) within float .5-tie rounding.
+Requires H % (2*tiles_y) == 0 and W % (2*tiles_x) == 0; callers fall back to
+clahe_fast upstream for other shapes.
 """
 
 from __future__ import annotations
@@ -27,16 +29,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from retinex_tpu.ops.clahe import HIST_SIZE
-from retinex_tpu.ops.clahe_fast import (
-    _blend_weights,
-    _luts_from_hist,
-    _neighbor_index_tables,
-)
+from retinex_tpu.ops.clahe_fast import _luts_from_hist, _neighbor_index_tables
 
 # D65 constants matching ops/colorspace.py (OpenCV 8-bit Lab parity).
 _RGB2XYZ = (
@@ -74,8 +71,6 @@ def _lab_f_inv(ft):
 
 
 def _rgb_to_lab_u8scale(r, g, b):
-    """float [0,1] channels (already u8-quantized upstream) -> Lab floats in
-    8-bit scale. Mirrors ops/colorspace.rgb_to_lab_u8."""
     rl, gl, bl = _srgb_to_linear(r), _srgb_to_linear(g), _srgb_to_linear(b)
     m = _RGB2XYZ
     X = (m[0][0] * rl + m[0][1] * gl + m[0][2] * bl) / _XN
@@ -106,73 +101,84 @@ def _lab_u8scale_to_rgb(L8, a8, b8):
     return clip(r), clip(g), clip(b_)
 
 
-def _hist_kernel(rgb_ref, lab_ref, hist_ref):
-    """rgb_ref: [3, area] f32 (u8-quantized [0,1]); lab_ref out [3, area] f32
-    (8-bit-scale, u8-rounded); hist_ref out [16, 16] f32."""
-    r = rgb_ref[0, :]
-    g = rgb_ref[1, :]
-    b = rgb_ref[2, :]
-    L8, a8, b8 = _rgb_to_lab_u8scale(r, g, b)
-    Lq = jnp.clip(jnp.round(L8), 0.0, 255.0)
-    lab_ref[0, :] = Lq
-    lab_ref[1, :] = jnp.clip(jnp.round(a8), 0.0, 255.0)
-    lab_ref[2, :] = jnp.clip(jnp.round(b8), 0.0, 255.0)
-
-    v = Lq.astype(jnp.int32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (16, v.shape[-1]), 0)
-    hi_t = ((v >> 4)[None, :] == iota).astype(jnp.bfloat16)  # [16, area]
-    lo_t = ((v & 15)[None, :] == iota).astype(jnp.bfloat16)
-    hist_ref[:, :] = jax.lax.dot_general(
-        hi_t,
-        lo_t,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _apply_kernel(hh, hw, lab_ref, lut_ref, out_ref):
-    """lab_ref: [3, P] f32 Lab cell (P = hh*hw); lut_ref: [4, 16, 16] f32;
-    out_ref: [3, P] f32 RGB. Grid: (B, ncy, ncx)."""
-    p = hh * hw
-    v = lab_ref[0, :].astype(jnp.int32)
+def _nibble_onehots_t(v_int, p, dtype=jnp.bfloat16):
     iota = jax.lax.broadcasted_iota(jnp.int32, (16, p), 0)
-    hi_t = ((v >> 4)[None, :] == iota).astype(jnp.bfloat16)  # [16, P]
-    lo_t = ((v & 15)[None, :] == iota).astype(jnp.float32)
+    hi_t = ((v_int >> 4)[None, :] == iota).astype(dtype)
+    lo_t = ((v_int & 15)[None, :] == iota).astype(dtype)
+    return hi_t, lo_t
 
-    def eval_lut(k):
-        # t^T[j, p] = sum_i lut[i, j] * hi_t[i, p]
-        tT = jax.lax.dot_general(
-            lut_ref[k].astype(jnp.bfloat16),
-            hi_t,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [16, P]
-        return jnp.sum(tT * lo_t, axis=0)  # [P]
 
-    l00 = eval_lut(0)
-    l01 = eval_lut(1)
-    l10 = eval_lut(2)
-    l11 = eval_lut(3)
+def _hist_kernel(rgb_ref, lab_ref, hist_ref):
+    """rgb_ref: [2, 2, 3, P] f32 (one tile's 4 cells, u8-quantized [0,1]);
+    lab_ref out: [2, 2, 3, P] f32 (8-bit-scale, u8-rounded);
+    hist_ref out: [16, 16] f32 (the tile histogram)."""
+    p = rgb_ref.shape[-1]
+    hist = jnp.zeros((16, 16), jnp.float32)
+    for qy in range(2):
+        for qx in range(2):
+            r = rgb_ref[qy, qx, 0, :]
+            g = rgb_ref[qy, qx, 1, :]
+            b = rgb_ref[qy, qx, 2, :]
+            L8, a8, b8 = _rgb_to_lab_u8scale(r, g, b)
+            Lq = jnp.clip(jnp.round(L8), 0.0, 255.0)
+            lab_ref[qy, qx, 0, :] = Lq
+            lab_ref[qy, qx, 1, :] = jnp.clip(jnp.round(a8), 0.0, 255.0)
+            lab_ref[qy, qx, 2, :] = jnp.clip(jnp.round(b8), 0.0, 255.0)
+            hi_t, lo_t = _nibble_onehots_t(Lq.astype(jnp.int32), p)
+            hist = hist + jax.lax.dot_general(
+                hi_t,
+                lo_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    hist_ref[:, :] = hist
 
-    # Blend weights from (cell parity, offset) — identical float math to
-    # clahe_fast._blend_weights.
+
+def _apply_kernel(hh, hw, group, lab_ref, lut_ref, out_ref):
+    """lab_ref: [group, 3, P] f32 Lab cells; lut_ref: [group, 4, 16, 16] f32;
+    out_ref: [group, 3, P] f32 RGB. Grid: (B, ncy, ncx // group)."""
+    p = hh * hw
     cy = pl.program_id(1)
-    cx = pl.program_id(2)
     pix = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)[0]
     ux = (pix % hw).astype(jnp.float32)
     uy = (pix // hw).astype(jnp.float32)
-    xa = jnp.where(cx % 2 == 0, ux / (2.0 * hw) + 0.5, ux / (2.0 * hw))
-    ya = jnp.where(cy % 2 == 0, uy / (2.0 * hh) + 0.5, uy / (2.0 * hh))
+    # Row parity is fixed for the program; column parity alternates with the
+    # static in-group index k (group is even), so xa_even/xa_odd are static.
+    ya_even = uy / (2.0 * hh) + 0.5
+    ya_odd = uy / (2.0 * hh)
+    ya = jnp.where(cy % 2 == 0, ya_even, ya_odd)
+    xa_even = ux / (2.0 * hw) + 0.5
+    xa_odd = ux / (2.0 * hw)
 
-    top = l00 * (1.0 - xa) + l01 * xa
-    bot = l10 * (1.0 - xa) + l11 * xa
-    L2 = jnp.clip(jnp.round(top * (1.0 - ya) + bot * ya), 0.0, 255.0)
+    for k in range(group):
+        v = lab_ref[k, 0, :].astype(jnp.int32)
+        hi_t, _ = _nibble_onehots_t(v, p)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (16, p), 0)
+        lo_t = ((v & 15)[None, :] == iota).astype(jnp.float32)
 
-    r, g, b = _lab_u8scale_to_rgb(L2, lab_ref[1, :], lab_ref[2, :])
-    # Final u8 quantization like clahe_lab_rgb's round(rgb*255)/255.
-    out_ref[0, :] = jnp.round(r * 255.0) / 255.0
-    out_ref[1, :] = jnp.round(g * 255.0) / 255.0
-    out_ref[2, :] = jnp.round(b * 255.0) / 255.0
+        def eval_lut(idx):
+            tT = jax.lax.dot_general(
+                lut_ref[k, idx].astype(jnp.bfloat16),
+                hi_t,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [16, P]
+            return jnp.sum(tT * lo_t, axis=0)  # [P]
+
+        l00 = eval_lut(0)
+        l01 = eval_lut(1)
+        l10 = eval_lut(2)
+        l11 = eval_lut(3)
+
+        xa = xa_even if k % 2 == 0 else xa_odd
+        top = l00 * (1.0 - xa) + l01 * xa
+        bot = l10 * (1.0 - xa) + l11 * xa
+        L2 = jnp.clip(jnp.round(top * (1.0 - ya) + bot * ya), 0.0, 255.0)
+
+        r, g, b = _lab_u8scale_to_rgb(L2, lab_ref[k, 1, :], lab_ref[k, 2, :])
+        out_ref[k, 0, :] = jnp.round(r * 255.0) / 255.0
+        out_ref[k, 1, :] = jnp.round(g * 255.0) / 255.0
+        out_ref[k, 2, :] = jnp.round(b * 255.0) / 255.0
 
 
 @functools.partial(
@@ -195,35 +201,44 @@ def clahe_lab_rgb_pallas(
     th, tw = h // tiles_y, w // tiles_x
     hh, hw = th // 2, tw // 2
     area = th * tw
+    p = hh * hw
     ncy, ncx = 2 * tiles_y, 2 * tiles_x
-    n_tiles = tiles_y * tiles_x
+    group = 8 if ncx % 8 == 0 else (4 if ncx % 4 == 0 else 2 if ncx % 2 == 0 else 1)
 
     xq = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
 
-    # Cellize to tile-planar [B, T, 3, area]: channels lead each tile so the
-    # kernels see [3, area] blocks with `area` on the lane axis.
-    tiles = (
-        xq.reshape(b, tiles_y, th, tiles_x, tw, 3)
+    # Single cellize: NHWC -> [B, ncy, ncx, 3, P] (channels lead, cell pixels
+    # on the lane axis).
+    cells = (
+        xq.reshape(b, ncy, hh, ncx, hw, 3)
         .transpose(0, 1, 3, 5, 2, 4)
-        .reshape(b, n_tiles, 3, area)
+        .reshape(b, ncy, ncx, 3, p)
     )
 
-    lab_tiles, hist16 = pl.pallas_call(
+    lab_cells, hist16 = pl.pallas_call(
         _hist_kernel,
-        grid=(b, n_tiles),
+        grid=(b, tiles_y, tiles_x),
         in_specs=[
-            pl.BlockSpec((None, None, 3, area), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (None, 2, 2, 3, p), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
-            pl.BlockSpec((None, None, 3, area), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, 16, 16), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (None, 2, 2, 3, p), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (None, None, None, 16, 16),
+                lambda i, j, k: (i, j, k, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n_tiles, 3, area), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_tiles, 16, 16), jnp.float32),
+            jax.ShapeDtypeStruct((b, ncy, ncx, 3, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, tiles_y, tiles_x, 16, 16), jnp.float32),
         ),
         interpret=interpret,
-    )(tiles)
+    )(cells)
 
     hist = hist16.reshape(b, tiles_y, tiles_x, HIST_SIZE).astype(jnp.int32)
     luts = _luts_from_hist(hist, clip_limit, area).astype(jnp.float32)
@@ -241,28 +256,23 @@ def clahe_lab_rgb_pallas(
         axis=3,
     )  # [b, ncy, ncx, 4, 16, 16]
 
-    # Re-cellize Lab from tile-planar to half-tile cells [B, ncy, ncx, 3, P].
-    lab_cells = (
-        lab_tiles.reshape(b, tiles_y, tiles_x, 3, 2, hh, 2, hw)
-        .transpose(0, 1, 4, 2, 6, 3, 5, 7)
-        .reshape(b, ncy, ncx, 3, hh * hw)
-    )
-
     rgb_cells = pl.pallas_call(
-        functools.partial(_apply_kernel, hh, hw),
-        grid=(b, ncy, ncx),
+        functools.partial(_apply_kernel, hh, hw, group),
+        grid=(b, ncy, ncx // group),
         in_specs=[
             pl.BlockSpec(
-                (None, None, None, 3, hh * hw), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM
+                (None, None, group, 3, p), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (None, None, None, 4, 16, 16), lambda i, j, k: (i, j, k, 0, 0, 0), memory_space=pltpu.VMEM
+                (None, None, group, 4, 16, 16),
+                lambda i, j, k: (i, j, k, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (None, None, None, 3, hh * hw), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM
+            (None, None, group, 3, p), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, ncy, ncx, 3, hh * hw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ncy, ncx, 3, p), jnp.float32),
         interpret=interpret,
     )(lab_cells, lut4)
 
@@ -275,11 +285,9 @@ def clahe_lab_rgb_pallas(
 
 
 def clahe_u8_pallas(img_u8, clip_limit: float = 2.0, tiles_x: int = 8, tiles_y: int = 8):
-    """CLAHE on uint8-valued [B,H,W] (or [H,W]) arrays (L-channel only).
-
-    Routes to the MXU nibble-decomposition XLA path; the fused Pallas pipeline
-    (clahe_lab_rgb_pallas) covers the full Lab round trip.
-    """
+    """CLAHE on uint8-valued [B,H,W] (or [H,W]) arrays (L channel only):
+    routes to the MXU nibble-decomposition XLA path; the fused Pallas pipeline
+    (clahe_lab_rgb_pallas) covers the full Lab round trip."""
     from retinex_tpu.ops.clahe_fast import clahe_u8_fast
 
     return clahe_u8_fast(img_u8, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y)
