@@ -6,6 +6,12 @@ mode (the fused RGB->Lab->CLAHE(L)->RGB pipeline the reference runs per-image
 through OpenCV on CPU, enhancers/adaptive_params.py:121-169). Frames are
 1920x1088 (1080p letterboxed to /32, utils/letterbox.py:45).
 
+Methodology notes (this environment): the axon TPU platform's
+block_until_ready returns before execution completes, and repeated identical
+dispatches can be short-circuited — so we cycle distinct inputs and use a
+slope measurement (K executions + one forced scalar fetch, minus the 1-execution
+baseline) to cancel the tunnel round-trip.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -29,28 +35,41 @@ BASELINE_FPS = 5000.0
 H, W = 1088, 1920
 
 
+def _timed(fn, inputs, k):
+    start = time.perf_counter()
+    out = None
+    for i in range(k):
+        out = fn(inputs[i % len(inputs)])
+    float(jnp.sum(out))  # force full execution + sync
+    return time.perf_counter() - start
+
+
+def measure_batch_seconds(fn, inputs, k_small=1, k_big=9, repeats=3):
+    """Per-execution seconds via the slope between k_small and k_big runs."""
+    _timed(fn, inputs, 1)  # warmup/compile
+    t1 = min(_timed(fn, inputs, k_small) for _ in range(repeats))
+    t2 = min(_timed(fn, inputs, k_big) for _ in range(repeats))
+    return max((t2 - t1) / (k_big - k_small), 1e-9)
+
+
 def main():
     platform = jax.devices()[0].platform
-    batch = 8 if platform == "tpu" else 2
-    iters = 20 if platform == "tpu" else 2
+    on_tpu = platform != "cpu"
+    batch = 8 if on_tpu else 2
 
     from retinex_tpu.ops.clahe import clahe_lab_rgb
 
-    use_pallas = platform == "tpu"
-    fn = jax.jit(lambda x: clahe_lab_rgb(x, use_pallas=use_pallas))
+    fn = jax.jit(clahe_lab_rgb)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32) * 0.4)
+    inputs = [
+        jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32) * 0.4)
+        for _ in range(4)
+    ]
 
-    # Warmup (compile) + one timed block.
-    jax.block_until_ready(fn(x))
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
-
-    fps = batch * iters / elapsed
+    k_big = 9 if on_tpu else 3
+    dt = measure_batch_seconds(fn, inputs, k_big=k_big)
+    fps = batch / dt
     print(
         json.dumps(
             {

@@ -37,10 +37,16 @@ def _mask(shape_b, key, p):
 def augment_batch(
     key: jax.Array, batch: jnp.ndarray, basic: bool = True, advanced: bool = False
 ) -> jnp.ndarray:
-    """Augment an NHWC float [0,1] batch. Returns same shape/dtype."""
+    """Augment an NHWC batch (uint8 or float [0,1]); returns float [0,1].
+
+    Accepting uint8 lets the trainer ship quarter-size host->device transfers
+    and normalize on device."""
     b = batch.shape[0]
     keys = jax.random.split(key, 12)
-    x = batch
+    if batch.dtype == jnp.uint8:
+        x = batch.astype(jnp.float32) / 255.0
+    else:
+        x = batch
 
     if basic:
         hflip = jax.random.uniform(keys[0], (b, 1, 1, 1)) < 0.5

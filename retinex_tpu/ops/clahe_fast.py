@@ -37,7 +37,8 @@ from retinex_tpu.ops.clahe import HIST_SIZE, _tile_luts, clahe_u8
 
 
 def _nibble_onehots(v: jnp.ndarray):
-    """v int32 [..., P] -> (hi_oh, lo_oh) bf16 [..., P, 16]."""
+    """v uint8/int32 [..., P] -> (hi_oh, lo_oh) bf16 [..., P, 16]."""
+    v = v.astype(jnp.int32)
     iota = jnp.arange(16, dtype=jnp.int32)
     hi = v >> 4
     lo = v & 15
@@ -81,14 +82,21 @@ def clahe_u8_fast(
         out = clahe_u8(img_u8, clip_limit, tiles_x, tiles_y)
         return out[0] if squeeze else out
 
+    # int32 through the cell transposes: fewer bytes (u8) measures *slower*
+    # on this TPU generation (sublane-packed int8 relayouts), so stay wide.
     v = img_u8.astype(jnp.int32)
     th, tw = h // tiles_y, w // tiles_x
     hh, hw = th // 2, tw // 2
     tile_area = th * tw
     ncy, ncx = 2 * tiles_y, 2 * tiles_x
 
-    # One-hot nibbles are computed ONCE on the half-tile cell grid and reused
-    # by both stages (tile histograms = sums of the 4 cell histograms).
+    # One-hot nibbles are cheap to compute (32 compares/pixel) but HUGE to
+    # store ([B,cells,P,16] bf16 ~ 0.5GB at 8x1080p). If the same one-hot
+    # tensors fed both the histogram and the LUT-evaluation stages, XLA would
+    # materialize them to HBM for the second consumer; an optimization barrier
+    # between the stages makes each stage regenerate its one-hots from the tiny
+    # cell tensor, so both stages fuse the compares into their contractions and
+    # nothing one-hot-sized ever leaves VMEM (measured ~2x end to end).
     cells = v.reshape(b, ncy, hh, ncx, hw).transpose(0, 1, 3, 2, 4)
     cells = cells.reshape(b, ncy, ncx, hh * hw)
     chi, clo = _nibble_onehots(cells)  # [b,cy,cx,P,16]
@@ -101,6 +109,11 @@ def clahe_u8_fast(
         cell_hist.reshape(b, tiles_y, 2, tiles_x, 2, 16, 16).sum(axis=(2, 4))
     )
     hist = hist16.reshape(b, tiles_y, tiles_x, HIST_SIZE).astype(jnp.int32)
+
+    # Barrier: stage 3 regenerates its one-hots from `cells2` (a distinct
+    # value), so the stage-1 one-hots are never stored for reuse.
+    cells2 = jax.lax.optimization_barrier(cells)
+    chi, clo = _nibble_onehots(cells2)
 
     # ---- Stage 2: OpenCV clip/redistribute + CDF LUTs (tiny, exact) ----
     luts = _luts_from_hist(hist, clip_limit, tile_area)  # [b,ty,tx,256] int32

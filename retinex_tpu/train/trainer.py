@@ -134,7 +134,8 @@ def train(config: Config) -> dict:
 
         for batch_idx, host_batch in enumerate(loader):
             host_batch, _ = pad_to_multiple(host_batch, n_dev)
-            batch = shard_batch(host_batch.astype(np.float32) / 255.0, mesh)
+            # uint8 over the wire; augment_batch normalizes on device.
+            batch = shard_batch(host_batch, mesh)
             aug_rng, step_rng = jax.random.split(aug_rng)
             batch = augment_batch(step_rng, batch, basic=True, advanced=config.advanced_augment)
             state, loss_dict = train_step(state, batch)
