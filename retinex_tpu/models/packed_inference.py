@@ -1,0 +1,249 @@
+"""Space-to-depth packed inference for MultiScaleUPRetinex.
+
+Narrow-channel (32ch) full-resolution convolutions run at ~3% MXU utilization
+(BENCH_NOTES.md); packing 2x2 pixels into channels makes them 128-wide and ~2x
+faster wall-clock. This module evaluates the SAME trained parameters with the
+full-resolution stages — IENet input conv, enc1, dec1, residual head, the
+scale-1 tower with its FAM, fusion and output head — rewritten in packed space
+(exact up to float reassociation; verified vs model.apply in
+tests/test_packed_inference.py). The /2-and-below body (enc2..dec2, the
+scale-2/3 towers) runs through the regular Flax modules.
+
+Usage:
+    packed = PackedRetinex(model, variables)
+    enhanced, reflectance, illu = jax.jit(packed)(x)   # NHWC float [0,1]
+
+Requires H, W divisible by 2 (letterbox guarantees /32).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from retinex_tpu.ops.resize import resize_bilinear, resize_scale
+from retinex_tpu.ops.s2d import (
+    conv_s2d,
+    d2s,
+    maxpool3x3_s1_s2d,
+    pack_kernel_s1,
+    pack_kernel_s2,
+    pack_pointwise,
+    s2d,
+)
+
+_BN_EPS = 1e-5
+
+
+def _bn_affine(p, s):
+    """Inference BatchNorm as per-channel (scale', bias')."""
+    scale = p["scale"] / jnp.sqrt(s["var"] + _BN_EPS)
+    return scale, p["bias"] - s["mean"] * scale
+
+
+def _tile4(v):
+    return jnp.tile(v, 4)
+
+
+def _conv(x, kernel, bias=None, stride=1, dilation=1):
+    """Plain torch-parity conv (explicit pad r*dilation)."""
+    k = kernel.shape[0]
+    pad = (k // 2) * dilation
+    out = lax.conv_general_dilated(
+        x,
+        kernel,
+        (stride, stride),
+        ((pad, pad), (pad, pad)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out if bias is None else out + bias
+
+
+class PackedRetinex:
+    """Callable packed-inference wrapper around trained variables."""
+
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+        self.use_preact = model.use_preact
+        p = variables["params"]
+        self.p = p
+        self.s = variables.get("batch_stats", {})
+
+        ie = p["ie_net"]
+        # Pre-pack all full-resolution kernels once (host-side, tiny).
+        self.k_input = pack_kernel_s1(ie["input_layer"]["kernel"])
+        self.b_input = ie["input_layer"]["bias"]
+
+        enc1 = ie["enc1"]
+        self.k_enc1_conv1 = pack_kernel_s2(enc1["conv1"]["kernel"])
+        self.k_enc1_short = pack_kernel_s2(enc1["shortcut_conv"]["kernel"])
+
+        dec1 = ie["dec1"]
+        # flax ConvTranspose k2s2: out(2I+c,2J+d) = sum_i K[1-c,1-d,i,o] x[I,J,i]
+        # (verified numerically) -> packed pointwise with flipped quadrants.
+        kup = np.asarray(dec1["up"]["kernel"], np.float32)  # [2,2,in,out]
+        cin, cout = kup.shape[2], kup.shape[3]
+        kup_p = np.zeros((1, 1, cin, 4 * cout), np.float32)
+        for c in range(2):
+            for d in range(2):
+                kup_p[0, 0, :, (c * 2 + d) * cout : (c * 2 + d + 1) * cout] = kup[1 - c, 1 - d]
+        self.k_dec1_up = jnp.asarray(kup_p)
+        self.b_dec1_up = dec1["up"]["bias"]
+        self.k_dec1_c1 = pack_kernel_s1(dec1["conv1"]["Conv_0"]["kernel"])
+        self.b_dec1_c1 = dec1["conv1"]["Conv_0"]["bias"]
+        self.k_dec1_c2 = pack_kernel_s1(dec1["conv2"]["Conv_0"]["kernel"])
+        self.b_dec1_c2 = dec1["conv2"]["Conv_0"]["bias"]
+
+        self.k_rescv = pack_kernel_s1(ie["residual_conv"]["kernel"])
+        self.b_rescv = ie["residual_conv"]["bias"]
+        self.k_resout = pack_pointwise(ie["residual_out"]["kernel"])
+        self.b_resout = ie["residual_out"]["bias"]
+
+        sc1 = p["scale1"]
+        self.k_s1conv = pack_kernel_s1(sc1["conv"]["kernel"])
+        self.b_s1conv = sc1["conv"]["bias"]
+        fam = sc1["fam"]
+        self.fam_k = {
+            "branch1": pack_pointwise(fam["branch1"]["kernel"]),
+            "branch2_conv": pack_pointwise(fam["branch2_conv"]["kernel"]),
+            "branch3_conv1": pack_kernel_s1(fam["branch3_conv1"]["kernel"]),
+            "branch3_conv2": pack_kernel_s1(fam["branch3_conv2"]["kernel"]),
+            "branch4_conv1": pack_kernel_s1(fam["branch4_conv1"]["kernel"]),
+            "branch4_conv2": pack_kernel_s1(fam["branch4_conv2"]["kernel"], dilation=2),
+            "fusion": pack_pointwise(fam["fusion"]["kernel"]),
+            "sa_conv": pack_kernel_s1(fam["sa_conv"]["kernel"]),
+        }
+        self.fam_b = {name: fam[name]["bias"] for name in (
+            "branch1", "branch2_conv", "branch3_conv1", "branch3_conv2",
+            "branch4_conv1", "branch4_conv2", "fusion", "sa_conv",
+        )}
+        self.fam_ca = fam  # ca_reduce / ca_expand used unpacked (1x1 on GAP)
+
+        self.k_fusion = pack_pointwise(p["fusion"]["kernel"])
+        self.b_fusion = p["fusion"]["bias"]
+        self.k_output = pack_pointwise(p["output_layer"]["kernel"])
+        self.b_output = p["output_layer"]["bias"]
+
+    # ---------- packed building blocks ----------
+
+    def _enc1(self, x1p):
+        """enc1 on packed full-res input -> unpacked [B,H/2,W/2,64]."""
+        ie_p, ie_s = self.p["ie_net"]["enc1"], self.s["ie_net"]["enc1"]
+        if self.use_preact:
+            sc, bi = _bn_affine(ie_p["bn1"], ie_s["bn1"])
+            pre = jax.nn.relu(x1p * _tile4(sc) + _tile4(bi))
+            short = conv_s2d(pre, self.k_enc1_short)
+            ssc, sbi = _bn_affine(ie_p["shortcut_bn"], ie_s["shortcut_bn"])
+            short = short * ssc + sbi
+            y = conv_s2d(pre, self.k_enc1_conv1)
+            sc2, bi2 = _bn_affine(ie_p["bn2"], ie_s["bn2"])
+            y = jax.nn.relu(y * sc2 + bi2)
+            y = _conv(y, ie_p["conv2"]["kernel"])
+            return y + short
+        else:
+            y = conv_s2d(x1p, self.k_enc1_conv1)
+            sc1, bi1 = _bn_affine(ie_p["bn1"], ie_s["bn1"])
+            y = jax.nn.relu(y * sc1 + bi1)
+            y = _conv(y, ie_p["conv2"]["kernel"])
+            sc2, bi2 = _bn_affine(ie_p["bn2"], ie_s["bn2"])
+            y = y * sc2 + bi2
+            short = conv_s2d(x1p, self.k_enc1_short)
+            ssc, sbi = _bn_affine(ie_p["shortcut_bn"], ie_s["shortcut_bn"])
+            short = short * ssc + sbi
+            return jax.nn.relu(y + short)
+
+    def _dec1(self, d2):
+        """dec1 UpBlock from [B,H/2,W/2,64] -> packed full-res [*,128]."""
+        ie_p, ie_s = self.p["ie_net"]["dec1"], self.s["ie_net"]["dec1"]
+        y = _conv(d2, self.k_dec1_up, _tile4(self.b_dec1_up))
+        for kp, bias, name in (
+            (self.k_dec1_c1, self.b_dec1_c1, "conv1"),
+            (self.k_dec1_c2, self.b_dec1_c2, "conv2"),
+        ):
+            y = conv_s2d(y, kp, bias=bias)
+            sc, bi = _bn_affine(ie_p[name]["BatchNorm_0"], ie_s[name]["BatchNorm_0"])
+            y = jax.nn.relu(y * _tile4(sc) + _tile4(bi))
+        return y
+
+    def _fam_packed(self, xp, c=32):
+        """EnhancedFAM on packed [*, 4c] input."""
+        k, bset = self.fam_k, self.fam_b
+        b1 = conv_s2d(xp, k["branch1"], bias=bset["branch1"])
+        b2 = maxpool3x3_s1_s2d(xp)
+        b2 = conv_s2d(b2, k["branch2_conv"], bias=bset["branch2_conv"])
+        b3 = jax.nn.relu(conv_s2d(xp, k["branch3_conv1"], bias=bset["branch3_conv1"]))
+        b3 = conv_s2d(b3, k["branch3_conv2"], bias=bset["branch3_conv2"])
+        b4 = jax.nn.relu(conv_s2d(xp, k["branch4_conv1"], bias=bset["branch4_conv1"]))
+        b4 = conv_s2d(b4, k["branch4_conv2"], bias=bset["branch4_conv2"])
+
+        cat = _interleave_packed([b1, b2, b3, b4], c)
+        out = jax.nn.relu(conv_s2d(cat, k["fusion"], bias=bset["fusion"]))
+
+        # Channel attention: true per-channel GAP = mean over packed spatial
+        # AND quadrants.
+        bsz = out.shape[0]
+        gap = out.mean(axis=(1, 2)).reshape(bsz, 4, c).mean(axis=1)[:, None, None, :]
+        ca = _conv(gap, self.fam_ca["ca_reduce"]["kernel"], self.fam_ca["ca_reduce"]["bias"])
+        ca = jax.nn.relu(ca)
+        ca = _conv(ca, self.fam_ca["ca_expand"]["kernel"], self.fam_ca["ca_expand"]["bias"])
+        ca = jax.nn.sigmoid(ca)
+        out = out * _tile4(ca)
+
+        # Spatial attention per original pixel: per-quadrant channel mean/max,
+        # interleaved into a packed 2-channel map.
+        b_, hh, ww, _ = out.shape
+        blocks = out.reshape(b_, hh, ww, 4, c)
+        avg_map = blocks.mean(axis=-1)  # [b,h,w,4]
+        max_map = blocks.max(axis=-1)
+        sa_in = jnp.stack([avg_map, max_map], axis=-1).reshape(b_, hh, ww, 8)
+        sa = jax.nn.sigmoid(conv_s2d(sa_in, self.fam_k["sa_conv"], bias=bset["sa_conv"]))
+        return (blocks * sa[..., None]).reshape(b_, hh, ww, 4 * c)
+
+    # ---------- full forward ----------
+
+    def __call__(self, x):
+        model, variables = self.model, self.variables
+        xp = s2d(x)
+
+        # IENet full-res head/tail packed, middle via the Flax modules.
+        x1p = jax.nn.relu(conv_s2d(xp, self.k_input, bias=self.b_input))
+        x2 = self._enc1(x1p)
+        d2 = model.apply(variables, x2, False, method=lambda m, a, t: m.ie_net.middle(a, t))
+        d1p = self._dec1(d2) + x1p
+        r = jax.nn.relu(conv_s2d(d1p, self.k_rescv, bias=self.b_rescv))
+        res_p = conv_s2d(r, self.k_resout, bias=self.b_resout)  # [*, 4]
+        mean_p = xp.reshape(*xp.shape[:-1], 4, 3).mean(axis=-1)  # [*, 4]
+        illu = d2s(jax.nn.sigmoid(mean_p + res_p))  # packed 1-channel -> [B,H,W,1]
+
+        reflectance = x / (illu + model.epsilon)
+
+        # Scale towers: scale1 packed; scale2/3 (low-res) via Flax.
+        f1p = jax.nn.relu(conv_s2d(xp, self.k_s1conv, bias=self.b_s1conv))
+        f1p = self._fam_packed(f1p)
+
+        h, w = x.shape[1], x.shape[2]
+        x2s = resize_scale(x, 0.5)
+        x3s = resize_scale(x, 0.25)
+        f2 = model.apply(variables, x2s, method=lambda m, a: m.scale2(a))
+        f3 = model.apply(variables, x3s, method=lambda m, a: m.scale3(a))
+        f2p = s2d(resize_bilinear(f2, h, w))
+        f3p = s2d(resize_bilinear(f3, h, w))
+
+        fused = _interleave_packed([f1p, f2p, f3p], 32)
+        fused = conv_s2d(fused, self.k_fusion, bias=self.b_fusion)
+        e_map = d2s(jax.nn.sigmoid(conv_s2d(fused, self.k_output, bias=self.b_output)))
+
+        enhanced = reflectance * e_map + (1.0 - reflectance) * (e_map**2)
+        return enhanced, reflectance, illu
+
+
+def _interleave_packed(tensors, c):
+    """Concatenate packed tensors per quadrant block (so a block-diagonal
+    packed pointwise kernel sees [q, cat(channels)] layout)."""
+    b, h, w, _ = tensors[0].shape
+    parts = [t.reshape(b, h, w, 4, c) for t in tensors]
+    return jnp.concatenate(parts, axis=-1).reshape(b, h, w, 4 * c * len(tensors))

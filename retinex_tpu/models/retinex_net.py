@@ -33,30 +33,45 @@ class ResidualIENet(nn.Module):
     use_aspp: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def setup(self):
+        # setup-style (not @nn.compact) so the packed-inference path
+        # (models/packed_inference.py) can run individual stages; the names
+        # keep the param tree identical to the original compact layout.
         block = PreActResBlock if self.use_preact else ResBlock
-
-        x1 = nn.relu(
-            nn.Conv(32, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="input_layer")(x)
-        )
-        x2 = block(64, stride=2, dtype=self.dtype, name="enc1")(x1, train)
-        x3 = block(128, stride=2, dtype=self.dtype, name="enc2")(x2, train)
-        x4 = block(256, stride=2, dtype=self.dtype, name="enc3")(x3, train)
-
-        x5 = block(256, dtype=self.dtype, name="bottleneck1")(x4, train)
+        self.input_layer = nn.Conv(32, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype)
+        self.enc1 = block(64, stride=2, dtype=self.dtype)
+        self.enc2 = block(128, stride=2, dtype=self.dtype)
+        self.enc3 = block(256, stride=2, dtype=self.dtype)
+        self.bottleneck1 = block(256, dtype=self.dtype)
         if self.use_aspp:
-            x5 = ASPPModule(256, dtype=self.dtype, name="aspp")(x5, train)
-        x5 = block(256, dtype=self.dtype, name="bottleneck2")(x5, train)
+            self.aspp = ASPPModule(256, dtype=self.dtype)
+        self.bottleneck2 = block(256, dtype=self.dtype)
+        self.dec3 = UpBlock(128, dtype=self.dtype)
+        self.dec2 = UpBlock(64, dtype=self.dtype)
+        self.dec1 = UpBlock(32, dtype=self.dtype)
+        self.residual_conv = nn.Conv(32, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype)
+        self.residual_out = nn.Conv(1, (1, 1), dtype=self.dtype)
 
-        d3 = UpBlock(128, dtype=self.dtype, name="dec3")(x5, train) + x3
-        d2 = UpBlock(64, dtype=self.dtype, name="dec2")(d3, train) + x2
-        d1 = UpBlock(32, dtype=self.dtype, name="dec1")(d2, train) + x1
+    def middle(self, x2, train: bool = False):
+        """enc2 -> bottleneck -> dec3/dec2 with skips: the /2-and-below body
+        (everything except the full-resolution stages)."""
+        x3 = self.enc2(x2, train)
+        x4 = self.enc3(x3, train)
+        x5 = self.bottleneck1(x4, train)
+        if self.use_aspp:
+            x5 = self.aspp(x5, train)
+        x5 = self.bottleneck2(x5, train)
+        d3 = self.dec3(x5, train) + x3
+        return self.dec2(d3, train) + x2
 
-        r = nn.relu(
-            nn.Conv(32, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="residual_conv")(d1)
-        )
-        residual = nn.Conv(1, (1, 1), dtype=self.dtype, name="residual_out")(r)
+    def __call__(self, x, train: bool = False):
+        x1 = nn.relu(self.input_layer(x))
+        x2 = self.enc1(x1, train)
+        d2 = self.middle(x2, train)
+        d1 = self.dec1(d2, train) + x1
+
+        r = nn.relu(self.residual_conv(d1))
+        residual = self.residual_out(r)
 
         mean_illumination = jnp.mean(x, axis=-1, keepdims=True)
         return nn.sigmoid(mean_illumination + residual)
