@@ -52,6 +52,13 @@ def _build_apply_fn(config: Config, require_checkpoint: bool):
         print("Using untrained model weights (enhance mode default, like the reference)")
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
 
+    if config.packed_inference:
+        from retinex_tpu.models.packed_inference import PackedRetinex
+
+        packed = PackedRetinex(model, variables)
+        print("Using space-to-depth packed inference")
+        return jax.jit(packed)
+
     @jax.jit
     def apply_fn(batch):
         return model.apply(variables, batch, train=False)

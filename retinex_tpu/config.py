@@ -73,6 +73,7 @@ class Config:
     profile_dir: str | None = None  # jax.profiler trace output
     classical_mode: str | None = None  # ssr | msr | msrcr classical enhance
     use_pallas_clahe: bool = True  # Pallas CLAHE kernel on TPU, jnp fallback elsewhere
+    packed_inference: bool = False  # space-to-depth packed net inference (exact, faster on TPU)
     log_every: int = 100  # batches between TB scalar writes (reference: 100)
 
     @property

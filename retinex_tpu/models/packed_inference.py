@@ -47,19 +47,26 @@ def _tile4(v):
     return jnp.tile(v, 4)
 
 
+def _affine(y, scale, bias, tile=False):
+    """y * scale + bias computed in y's dtype (keeps bf16 graphs bf16)."""
+    if tile:
+        scale, bias = _tile4(scale), _tile4(bias)
+    return y * scale.astype(y.dtype) + bias.astype(y.dtype)
+
+
 def _conv(x, kernel, bias=None, stride=1, dilation=1):
     """Plain torch-parity conv (explicit pad r*dilation)."""
     k = kernel.shape[0]
     pad = (k // 2) * dilation
     out = lax.conv_general_dilated(
         x,
-        kernel,
+        kernel.astype(x.dtype),
         (stride, stride),
         ((pad, pad), (pad, pad)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return out if bias is None else out + bias
+    return out if bias is None else out + bias.astype(out.dtype)
 
 
 class PackedRetinex:
@@ -135,25 +142,25 @@ class PackedRetinex:
         ie_p, ie_s = self.p["ie_net"]["enc1"], self.s["ie_net"]["enc1"]
         if self.use_preact:
             sc, bi = _bn_affine(ie_p["bn1"], ie_s["bn1"])
-            pre = jax.nn.relu(x1p * _tile4(sc) + _tile4(bi))
+            pre = jax.nn.relu(_affine(x1p, sc, bi, tile=True))
             short = conv_s2d(pre, self.k_enc1_short)
             ssc, sbi = _bn_affine(ie_p["shortcut_bn"], ie_s["shortcut_bn"])
-            short = short * ssc + sbi
+            short = _affine(short, ssc, sbi)
             y = conv_s2d(pre, self.k_enc1_conv1)
             sc2, bi2 = _bn_affine(ie_p["bn2"], ie_s["bn2"])
-            y = jax.nn.relu(y * sc2 + bi2)
+            y = jax.nn.relu(_affine(y, sc2, bi2))
             y = _conv(y, ie_p["conv2"]["kernel"])
             return y + short
         else:
             y = conv_s2d(x1p, self.k_enc1_conv1)
             sc1, bi1 = _bn_affine(ie_p["bn1"], ie_s["bn1"])
-            y = jax.nn.relu(y * sc1 + bi1)
+            y = jax.nn.relu(_affine(y, sc1, bi1))
             y = _conv(y, ie_p["conv2"]["kernel"])
             sc2, bi2 = _bn_affine(ie_p["bn2"], ie_s["bn2"])
-            y = y * sc2 + bi2
+            y = _affine(y, sc2, bi2)
             short = conv_s2d(x1p, self.k_enc1_short)
             ssc, sbi = _bn_affine(ie_p["shortcut_bn"], ie_s["shortcut_bn"])
-            short = short * ssc + sbi
+            short = _affine(short, ssc, sbi)
             return jax.nn.relu(y + short)
 
     def _dec1(self, d2):
@@ -166,7 +173,7 @@ class PackedRetinex:
         ):
             y = conv_s2d(y, kp, bias=bias)
             sc, bi = _bn_affine(ie_p[name]["BatchNorm_0"], ie_s[name]["BatchNorm_0"])
-            y = jax.nn.relu(y * _tile4(sc) + _tile4(bi))
+            y = jax.nn.relu(_affine(y, sc, bi, tile=True))
         return y
 
     def _fam_packed(self, xp, c=32):
@@ -191,7 +198,7 @@ class PackedRetinex:
         ca = jax.nn.relu(ca)
         ca = _conv(ca, self.fam_ca["ca_expand"]["kernel"], self.fam_ca["ca_expand"]["bias"])
         ca = jax.nn.sigmoid(ca)
-        out = out * _tile4(ca)
+        out = out * _tile4(ca).astype(out.dtype)
 
         # Spatial attention per original pixel: per-quadrant channel mean/max,
         # interleaved into a packed 2-channel map.
@@ -207,7 +214,9 @@ class PackedRetinex:
 
     def __call__(self, x):
         model, variables = self.model, self.variables
-        xp = s2d(x)
+        if x.shape[1] % 2 or x.shape[2] % 2:  # odd dims: fall back to standard
+            return model.apply(variables, x, train=False)
+        xp = s2d(x).astype(model.dtype)  # compute dtype like the Flax modules
 
         # IENet full-res head/tail packed, middle via the Flax modules.
         x1p = jax.nn.relu(conv_s2d(xp, self.k_input, bias=self.b_input))

@@ -83,3 +83,22 @@ def test_simple_enhance_cli(tmp_path):
     out = str(tmp_path / "out")
     simple_enhance_main(["--input", SRC, "--output", out, "--max_size", "96", "--classical", "ssr"])
     assert os.path.exists(os.path.join(out, "102708607-003694-003694_enhanced.png"))
+
+
+def test_cli_enhance_packed_inference(tmp_path):
+    from retinex_tpu.cli import main
+
+    out = str(tmp_path / "out")
+    main(
+        [
+            "--mode", "enhance",
+            "--input_path", SRC,
+            "--output_dir", out,
+            "--max_size", "96",
+            "--checkpoint", "",
+            "--content_aware",
+            "--packed_inference",
+            "--no-use_pallas_clahe",
+        ]
+    )
+    assert os.path.exists(os.path.join(out, "102708607-003694-003694_enhanced.png"))
