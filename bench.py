@@ -1,18 +1,22 @@
 #!/usr/bin/env python3
-"""Benchmark: classical enhance throughput, 1080p frames/sec/chip.
+"""Benchmark: every hot path, one JSON line per metric (headline printed last).
 
-The BASELINE.json headline: >=5,000 1080p frames/sec/chip in classical enhance
-mode (the fused RGB->Lab->CLAHE(L)->RGB pipeline the reference runs per-image
-through OpenCV on CPU, enhancers/adaptive_params.py:121-169). Frames are
-1920x1088 (1080p letterboxed to /32, utils/letterbox.py:45).
+Paths measured (all on the attached chip):
+- train step/s (preact+ASPP model, 7 losses, 256x256 batch 4)
+- net 1080p inference, standard and space-to-depth packed (bf16, batch 2)
+- classical enhance 1080p, uint8 ingest (the production path) and float32
+  (the headline, comparable with BENCH_r01) — the fused
+  RGB->Lab->CLAHE(L)->RGB pipeline the reference runs per-image through
+  OpenCV on CPU (reference: enhancers/adaptive_params.py:121-169). Frames are
+  1920x1088 (1080p letterboxed to /32, reference utils/letterbox.py:45).
 
-Methodology notes (this environment): the axon TPU platform's
-block_until_ready returns before execution completes, and repeated identical
-dispatches can be short-circuited — so we cycle distinct inputs and use a
-slope measurement (K executions + one forced scalar fetch, minus the 1-execution
-baseline) to cancel the tunnel round-trip.
+Methodology (this environment): the axon TPU platform's block_until_ready
+returns before execution completes and repeated identical dispatches can be
+short-circuited — so distinct inputs cycle and the slope method (K dispatches
++ one forced scalar fetch, slope between K=1 and K=big) cancels the tunnel
+round trip. See BENCH_NOTES.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The driver parses the LAST JSON line: the classical-f32 headline.
 """
 
 from __future__ import annotations
@@ -25,8 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compilation cache: the fused CLAHE graph takes minutes to compile
-# on a cold tunnel; cache it across runs.
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
@@ -40,7 +42,7 @@ def _timed(fn, inputs, k):
     out = None
     for i in range(k):
         out = fn(inputs[i % len(inputs)])
-    float(jnp.sum(out))  # force full execution + sync
+    jax.tree.map(lambda a: float(jnp.sum(a.astype(jnp.float32))), out)
     return time.perf_counter() - start
 
 
@@ -52,34 +54,117 @@ def measure_batch_seconds(fn, inputs, k_small=1, k_big=9, repeats=3):
     return max((t2 - t1) / (k_big - k_small), 1e-9)
 
 
-def main():
-    platform = jax.devices()[0].platform
-    on_tpu = platform != "cpu"
-    batch = 8 if on_tpu else 2
+def emit(metric, value, unit, vs_baseline=None):
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if vs_baseline is not None:
+        rec["vs_baseline"] = round(vs_baseline, 4)
+    print(json.dumps(rec), flush=True)
 
-    from retinex_tpu.ops.clahe import clahe_lab_rgb
 
-    fn = jax.jit(clahe_lab_rgb)
+def bench_train_step(on_tpu: bool):
+    from retinex_tpu.config import Config
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+    from retinex_tpu.train.train_state import create_train_state, make_train_step
+    from retinex_tpu.train.trainer import build_criterion
+
+    size, batch = (256, 4) if on_tpu else (64, 2)
+    config = Config(use_preact=True, use_aspp=True, use_perceptual_loss=True)
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True)
+    criterion = build_criterion(config)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (batch, size, size, 3), lambda s: 1e-4
+    )
+    step = make_train_step(model, criterion, mesh=None, donate=False)
+    rng = np.random.default_rng(0)
+    batches = [
+        jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32)) for _ in range(3)
+    ]
+
+    def run(b):
+        new_state, losses = step(state, b)
+        return losses["total"]
+
+    dt = measure_batch_seconds(run, batches, k_big=5)
+    emit(f"train_step_{size}px_b{batch}_steps_per_sec", 1.0 / dt, "steps/sec")
+
+
+def bench_net(on_tpu: bool):
+    from retinex_tpu.models.packed_inference import PackedRetinex
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+
+    batch = 2 if on_tpu else 1
+    h, w = (H, W) if on_tpu else (256, 256)
+    dtype = jnp.bfloat16
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+    @jax.jit
+    def fwd(x):
+        return model.apply(variables, x, train=False)[0]
+
+    packed = PackedRetinex(model, variables)
+
+    @jax.jit
+    def fwd_packed(x):
+        return packed(x)[0]
 
     rng = np.random.default_rng(0)
     inputs = [
+        jnp.asarray(rng.random((batch, h, w, 3), dtype=np.float32), dtype=dtype)
+        for _ in range(3)
+    ]
+    dt = measure_batch_seconds(fwd, inputs, k_big=5)
+    emit(f"net_{h}x{w}_fps_per_chip", batch / dt, "frames/sec")
+    dtp = measure_batch_seconds(fwd_packed, inputs, k_big=5)
+    emit(f"net_{h}x{w}_packed_fps_per_chip", batch / dtp, "frames/sec")
+
+
+def bench_classical(on_tpu: bool):
+    from retinex_tpu.ops.clahe import clahe_lab_rgb
+
+    batch = 8 if on_tpu else 2
+    rng = np.random.default_rng(0)
+    inputs_f32 = [
         jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32) * 0.4)
         for _ in range(4)
     ]
-
     k_big = 9 if on_tpu else 3
-    dt = measure_batch_seconds(fn, inputs, k_big=k_big)
-    fps = batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": "classical_enhance_1080p_fps_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / BASELINE_FPS, 4),
-            }
+
+    if on_tpu:
+        from retinex_tpu.ops.clahe_gather import clahe_rgb_u8_gather
+
+        inputs_u8 = [
+            jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8) for x in inputs_f32
+        ]
+        dt_u8 = measure_batch_seconds(clahe_rgb_u8_gather, inputs_u8, k_big=k_big)
+        emit(
+            "classical_enhance_1080p_u8_fps_per_chip",
+            batch / dt_u8,
+            "frames/sec",
+            (batch / dt_u8) / BASELINE_FPS,
         )
+
+    fn = jax.jit(clahe_lab_rgb)  # auto-routes: gather kernel on TPU, XLA on CPU
+    dt = measure_batch_seconds(fn, inputs_f32, k_big=k_big)
+    emit(
+        "classical_enhance_1080p_fps_per_chip",
+        batch / dt,
+        "frames/sec",
+        (batch / dt) / BASELINE_FPS,
     )
+
+
+def main():
+    on_tpu = jax.devices()[0].platform != "cpu"
+    for name, fn in (
+        ("train", bench_train_step),
+        ("net", bench_net),
+        ("classical", bench_classical),
+    ):
+        try:
+            fn(on_tpu)
+        except Exception as e:  # keep the headline printable even if one path breaks
+            print(f"# bench path '{name}' failed: {type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@
 #include <mutex>
 #include <queue>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #include <jpeglib.h>
@@ -250,18 +251,20 @@ class ThreadPool {
   bool stop_ = false;
 };
 
-ThreadPool* g_pool = nullptr;
+// One pool per requested size, never deleted: replacing a live pool when a
+// concurrent caller asks for a different num_threads would destroy a pool the
+// first caller is still submitting to (use-after-free / deadlock in ~ThreadPool).
+// Distinct sizes are rare in practice, so the map stays tiny; pools leak at
+// process exit by design (their threads are joined only in the destructor).
 std::mutex g_pool_mu;
-int g_pool_size = 0;
+std::unordered_map<int, ThreadPool*>* g_pools = nullptr;
 
 ThreadPool* pool(int n) {
   std::lock_guard<std::mutex> lk(g_pool_mu);
-  if (g_pool == nullptr || g_pool_size != n) {
-    delete g_pool;
-    g_pool = new ThreadPool(n);
-    g_pool_size = n;
-  }
-  return g_pool;
+  if (g_pools == nullptr) g_pools = new std::unordered_map<int, ThreadPool*>();
+  ThreadPool*& p = (*g_pools)[n];
+  if (p == nullptr) p = new ThreadPool(n);
+  return p;
 }
 
 }  // namespace

@@ -35,7 +35,7 @@ class Config:
     num_workers: int = 4
     lr_decay_step: int = 30
     lr_decay_gamma: float = 0.5
-    save_freq: int = 10
+    save_freq: int = 10  # epochs between sample visualizations (reference: main.py:96)
     seed: int = 0
 
     # Loss weights (reference: main.py:60-73)
@@ -72,9 +72,18 @@ class Config:
     n_devices: int | None = None  # data-parallel mesh size (default: all)
     profile_dir: str | None = None  # jax.profiler trace output
     classical_mode: str | None = None  # ssr | msr | msrcr classical enhance
-    use_pallas_clahe: bool = True  # Pallas CLAHE kernel on TPU, jnp fallback elsewhere
-    packed_inference: bool = False  # space-to-depth packed net inference (exact, faster on TPU)
+    # Pallas gather-based CLAHE pipeline (ops/clahe_gather.py) — the fastest
+    # path on TPU (~1.9x the XLA nibble-MXU path, BENCH_NOTES.md). On by
+    # default; automatically falls back to the XLA path on CPU or on shapes
+    # the gather kernel doesn't support. --no-use_pallas_clahe forces XLA.
+    use_pallas_clahe: bool = True
+    # Space-to-depth packed net inference (models/packed_inference.py): exact
+    # up to float reassociation and strictly faster on TPU (16.6 vs 11.9 fps
+    # at 1080p, BENCH_NOTES.md). On by default; odd-sized inputs fall back to
+    # the standard forward automatically.
+    packed_inference: bool = True
     log_every: int = 100  # batches between TB scalar writes (reference: 100)
+    progress_bar: bool = True  # tqdm batch bar (reference: trainers/train.py:61)
 
     @property
     def compute_dtype(self):

@@ -33,6 +33,33 @@ def _mask(shape_b, key, p):
     return (jax.random.uniform(key, (shape_b, 1, 1, 1)) < p).astype(jnp.float32)
 
 
+def sample_advanced_params(key: jax.Array, b: int) -> dict[str, jnp.ndarray]:
+    """Per-sample gates and magnitudes for the advanced augmentations.
+
+    Every gate is drawn from a key distinct from its magnitude's key, matching
+    the reference's independent `random.random()` / `random.uniform()` draws
+    (datasets/dataset.py:133-183). Exposed separately so tests can assert the
+    joint gate/magnitude distribution (a past bug correlated them, silently
+    restricting contrast to [0.8,1.0) and brightness to negative shifts).
+    """
+    keys = jax.random.split(key, 16)
+    return {
+        "g_on": _mask(b, keys[4], 0.5),
+        "gamma": _per_sample(b, keys[5], 0.6, 1.8),
+        "c_on": _mask(b, keys[6], 0.5),
+        "contrast": _per_sample(b, keys[12], 0.8, 1.2),
+        "br_on": _mask(b, keys[7], 0.5),
+        "brightness": _per_sample(b, keys[13], -0.1, 0.1),
+        "n_on": _mask(b, keys[8], 0.7),
+        "sigma": _per_sample(b, keys[9], 0.01, 0.03),
+        "noise_key": keys[10],
+        "s_on": _mask(b, keys[11], 0.5),
+        "saturation": _per_sample(b, keys[14], 0.8, 1.2),
+        "h_on": _mask(b, keys[15], 0.5),
+        "hue": _per_sample(b, jax.random.fold_in(keys[15], 2), -0.05, 0.05),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("basic", "advanced"))
 def augment_batch(
     key: jax.Array, batch: jnp.ndarray, basic: bool = True, advanced: bool = False
@@ -42,7 +69,7 @@ def augment_batch(
     Accepting uint8 lets the trainer ship quarter-size host->device transfers
     and normalize on device."""
     b = batch.shape[0]
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 16)
     if batch.dtype == jnp.uint8:
         x = batch.astype(jnp.float32) / 255.0
     else:
@@ -68,37 +95,25 @@ def augment_batch(
             x = jnp.where(do_rot[:, None, None, None], rotated, x)
 
     if advanced:
+        p = sample_advanced_params(key, b)
         # 1. gamma
-        g_on = _mask(b, keys[4], 0.5)
-        gamma = _per_sample(b, keys[5], 0.6, 1.8)
-        x_g = jnp.power(jnp.maximum(x, 1e-8), gamma)
-        x = g_on * x_g + (1.0 - g_on) * x
+        x_g = jnp.power(jnp.maximum(x, 1e-8), p["gamma"])
+        x = p["g_on"] * x_g + (1.0 - p["g_on"]) * x
         # 2. contrast around the per-sample mean
-        c_on = _mask(b, keys[6], 0.5)
-        factor = _per_sample(b, keys[6], 0.8, 1.2)
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        x_c = jnp.clip((x - mean) * factor + mean, 0.0, 1.0)
-        x = c_on * x_c + (1.0 - c_on) * x
+        x_c = jnp.clip((x - mean) * p["contrast"] + mean, 0.0, 1.0)
+        x = p["c_on"] * x_c + (1.0 - p["c_on"]) * x
         # 3. brightness
-        br_on = _mask(b, keys[7], 0.5)
-        shift = _per_sample(b, keys[7], -0.1, 0.1)
-        x = jnp.clip(x + br_on * shift, 0.0, 1.0)
+        x = jnp.clip(x + p["br_on"] * p["brightness"], 0.0, 1.0)
         # 4. Gaussian noise, p=0.7
-        n_on = _mask(b, keys[8], 0.7)
-        sigma = _per_sample(b, keys[9], 0.01, 0.03)
-        noise = jax.random.normal(keys[10], x.shape) * sigma
-        x = jnp.clip(x + n_on * noise, 0.0, 1.0)
+        noise = jax.random.normal(p["noise_key"], x.shape) * p["sigma"]
+        x = jnp.clip(x + p["n_on"] * noise, 0.0, 1.0)
         # 5. saturation via Rec.601 gray mix
-        s_on = _mask(b, keys[11], 0.5)
-        s_factor = _per_sample(b, keys[11], 0.8, 1.2)
         gray = rgb_to_luma(x)
-        x_s = jnp.clip(gray + s_factor * (x - gray), 0.0, 1.0)
-        x = s_on * x_s + (1.0 - s_on) * x
+        x_s = jnp.clip(gray + p["saturation"] * (x - gray), 0.0, 1.0)
+        x = p["s_on"] * x_s + (1.0 - p["s_on"]) * x
         # 6. "hue" shift (reference quirk: additive shift on all channels,
         #    datasets/dataset.py:177-180)
-        h_key = jax.random.fold_in(keys[11], 1)
-        h_on = _mask(b, h_key, 0.5)
-        h_shift = _per_sample(b, jax.random.fold_in(h_key, 2), -0.05, 0.05)
-        x = jnp.clip(x + h_on * h_shift, 0.0, 1.0)
+        x = jnp.clip(x + p["h_on"] * p["hue"], 0.0, 1.0)
 
     return x

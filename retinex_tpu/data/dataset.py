@@ -123,12 +123,26 @@ class _PrefetchIterator:
             self.use_native = False
         self.pool = None if self.use_native else ThreadPoolExecutor(max_workers=self.num_workers)
         self.q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
         self.thread = threading.Thread(target=self._produce, daemon=True)
         self.thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that aborts when the consumer closed the iterator —
+        a plain q.put would block forever if the consumer broke out early."""
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _produce(self):
         n = len(self.order)
         for start in range(0, n, self.batch_size):
+            if self._stop.is_set():
+                break
             idxs = self.order[start : start + self.batch_size]
             if len(idxs) < self.batch_size and self.drop_last:
                 break
@@ -146,10 +160,30 @@ class _PrefetchIterator:
             else:
                 imgs = list(self.pool.map(self.dataset.__getitem__, idxs))
                 batch = np.stack(imgs, axis=0)
-            self.q.put(batch)
-        self.q.put(None)
+            if not self._put(batch):
+                break
+        self._put(None)
         if self.pool is not None:
             self.pool.shutdown(wait=False)
+
+    def close(self):
+        """Stop the producer thread and drain the queue. Safe to call even
+        after exhaustion; consumers that break out of the epoch early MUST
+        call this (or use the context manager) or the producer blocks on the
+        bounded queue forever, leaking a thread + decoded batches."""
+        self._stop.set()
+        while True:
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
+        self.thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __iter__(self):
         return self

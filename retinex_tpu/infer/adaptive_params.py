@@ -75,11 +75,11 @@ class AdaptiveParameterAdjuster:
             params["color_balance"] = 1.1
         return params
 
-    def apply_clahe_enhancement(self, image, use_pallas: bool = False):
+    def apply_clahe_enhancement(self, image, use_pallas: bool | None = None):
         """Lab-space CLAHE on the L channel (clip 2.0, 8x8 tiles)."""
         return clahe_lab_rgb(jnp.asarray(image), use_pallas=use_pallas)
 
-    def apply_adaptive_enhancement(self, apply_fn, image, use_pallas: bool = False):
+    def apply_adaptive_enhancement(self, apply_fn, image, use_pallas: bool | None = None):
         """Net forward then CLAHE on the output (reference :171-200).
         apply_fn: batch -> (enhanced, reflectance, illumination)."""
         x = jnp.asarray(image)

@@ -135,7 +135,7 @@ def enhance_single_image(
     enable_multi_scale: bool = False,
     enable_content_aware: bool = False,
     classical_mode: str | None = None,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
     save_outputs: bool = True,
 ):
     """Route one image through exactly one pipeline and save
@@ -178,7 +178,7 @@ def enhance_batch_images(
     output_dir: str,
     max_size: int | None = None,
     classical_mode: str | None = None,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
 ):
     """Batch enhance over a directory (reference: enhancers/simple_enhance.py:202-250;
     extensions include tif/tiff there). Returns per-image timings."""

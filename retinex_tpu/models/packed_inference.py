@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from retinex_tpu.ops.conv_pallas import conv2d_pallas, conv_pallas_supported
 from retinex_tpu.ops.resize import resize_bilinear, resize_scale
 from retinex_tpu.ops.s2d import (
     conv_s2d,
@@ -35,6 +36,28 @@ from retinex_tpu.ops.s2d import (
 )
 
 _BN_EPS = 1e-5
+
+
+def _conv_auto(x, packed_kernel, bias=None, relu=False):
+    """conv_s2d, optionally routed through the Pallas implicit-GEMM kernel
+    (ops/conv_pallas.py) via RETINEX_PALLAS_CONV=1. Off by default: the
+    kernel is ~2x XLA's conv emitter measured standalone, but inside the
+    full packed graph XLA's fusion of pad/bias/relu/neighbours into its own
+    convs wins back more than that (120.6 vs 132.2 ms/batch, BENCH_NOTES.md)."""
+    import os
+
+    if (
+        os.environ.get("RETINEX_PALLAS_CONV")
+        and jax.devices()[0].platform != "cpu"
+        and conv_pallas_supported(x.shape, packed_kernel.shape)
+    ):
+        b = None
+        if bias is not None:
+            reps = packed_kernel.shape[-1] // bias.shape[0]
+            b = jnp.tile(bias, reps).astype(jnp.float32)
+        return conv2d_pallas(x, packed_kernel, b, relu=relu)
+    out = conv_s2d(x, packed_kernel, bias=bias)
+    return jax.nn.relu(out) if relu else out
 
 
 def _bn_affine(p, s):
@@ -143,22 +166,22 @@ class PackedRetinex:
         if self.use_preact:
             sc, bi = _bn_affine(ie_p["bn1"], ie_s["bn1"])
             pre = jax.nn.relu(_affine(x1p, sc, bi, tile=True))
-            short = conv_s2d(pre, self.k_enc1_short)
+            short = _conv_auto(pre, self.k_enc1_short)
             ssc, sbi = _bn_affine(ie_p["shortcut_bn"], ie_s["shortcut_bn"])
             short = _affine(short, ssc, sbi)
-            y = conv_s2d(pre, self.k_enc1_conv1)
+            y = _conv_auto(pre, self.k_enc1_conv1)
             sc2, bi2 = _bn_affine(ie_p["bn2"], ie_s["bn2"])
             y = jax.nn.relu(_affine(y, sc2, bi2))
             y = _conv(y, ie_p["conv2"]["kernel"])
             return y + short
         else:
-            y = conv_s2d(x1p, self.k_enc1_conv1)
+            y = _conv_auto(x1p, self.k_enc1_conv1)
             sc1, bi1 = _bn_affine(ie_p["bn1"], ie_s["bn1"])
             y = jax.nn.relu(_affine(y, sc1, bi1))
             y = _conv(y, ie_p["conv2"]["kernel"])
             sc2, bi2 = _bn_affine(ie_p["bn2"], ie_s["bn2"])
             y = _affine(y, sc2, bi2)
-            short = conv_s2d(x1p, self.k_enc1_short)
+            short = _conv_auto(x1p, self.k_enc1_short)
             ssc, sbi = _bn_affine(ie_p["shortcut_bn"], ie_s["shortcut_bn"])
             short = _affine(short, ssc, sbi)
             return jax.nn.relu(y + short)
@@ -171,7 +194,7 @@ class PackedRetinex:
             (self.k_dec1_c1, self.b_dec1_c1, "conv1"),
             (self.k_dec1_c2, self.b_dec1_c2, "conv2"),
         ):
-            y = conv_s2d(y, kp, bias=bias)
+            y = _conv_auto(y, kp, bias=bias)
             sc, bi = _bn_affine(ie_p[name]["BatchNorm_0"], ie_s[name]["BatchNorm_0"])
             y = jax.nn.relu(_affine(y, sc, bi, tile=True))
         return y
@@ -179,16 +202,16 @@ class PackedRetinex:
     def _fam_packed(self, xp, c=32):
         """EnhancedFAM on packed [*, 4c] input."""
         k, bset = self.fam_k, self.fam_b
-        b1 = conv_s2d(xp, k["branch1"], bias=bset["branch1"])
+        b1 = _conv_auto(xp, k["branch1"], bias=bset["branch1"])
         b2 = maxpool3x3_s1_s2d(xp)
-        b2 = conv_s2d(b2, k["branch2_conv"], bias=bset["branch2_conv"])
-        b3 = jax.nn.relu(conv_s2d(xp, k["branch3_conv1"], bias=bset["branch3_conv1"]))
-        b3 = conv_s2d(b3, k["branch3_conv2"], bias=bset["branch3_conv2"])
-        b4 = jax.nn.relu(conv_s2d(xp, k["branch4_conv1"], bias=bset["branch4_conv1"]))
-        b4 = conv_s2d(b4, k["branch4_conv2"], bias=bset["branch4_conv2"])
+        b2 = _conv_auto(b2, k["branch2_conv"], bias=bset["branch2_conv"])
+        b3 = _conv_auto(xp, k["branch3_conv1"], bias=bset["branch3_conv1"], relu=True)
+        b3 = _conv_auto(b3, k["branch3_conv2"], bias=bset["branch3_conv2"])
+        b4 = _conv_auto(xp, k["branch4_conv1"], bias=bset["branch4_conv1"], relu=True)
+        b4 = _conv_auto(b4, k["branch4_conv2"], bias=bset["branch4_conv2"])
 
         cat = _interleave_packed([b1, b2, b3, b4], c)
-        out = jax.nn.relu(conv_s2d(cat, k["fusion"], bias=bset["fusion"]))
+        out = _conv_auto(cat, k["fusion"], bias=bset["fusion"], relu=True)
 
         # Channel attention: true per-channel GAP = mean over packed spatial
         # AND quadrants.
@@ -207,7 +230,7 @@ class PackedRetinex:
         avg_map = blocks.mean(axis=-1)  # [b,h,w,4]
         max_map = blocks.max(axis=-1)
         sa_in = jnp.stack([avg_map, max_map], axis=-1).reshape(b_, hh, ww, 8)
-        sa = jax.nn.sigmoid(conv_s2d(sa_in, self.fam_k["sa_conv"], bias=bset["sa_conv"]))
+        sa = jax.nn.sigmoid(_conv_auto(sa_in, self.fam_k["sa_conv"], bias=bset["sa_conv"]))
         return (blocks * sa[..., None]).reshape(b_, hh, ww, 4 * c)
 
     # ---------- full forward ----------
@@ -219,19 +242,19 @@ class PackedRetinex:
         xp = s2d(x).astype(model.dtype)  # compute dtype like the Flax modules
 
         # IENet full-res head/tail packed, middle via the Flax modules.
-        x1p = jax.nn.relu(conv_s2d(xp, self.k_input, bias=self.b_input))
+        x1p = _conv_auto(xp, self.k_input, bias=self.b_input, relu=True)
         x2 = self._enc1(x1p)
         d2 = model.apply(variables, x2, False, method=lambda m, a, t: m.ie_net.middle(a, t))
         d1p = self._dec1(d2) + x1p
-        r = jax.nn.relu(conv_s2d(d1p, self.k_rescv, bias=self.b_rescv))
-        res_p = conv_s2d(r, self.k_resout, bias=self.b_resout)  # [*, 4]
+        r = _conv_auto(d1p, self.k_rescv, bias=self.b_rescv, relu=True)
+        res_p = _conv_auto(r, self.k_resout, bias=self.b_resout)  # [*, 4]
         mean_p = xp.reshape(*xp.shape[:-1], 4, 3).mean(axis=-1)  # [*, 4]
         illu = d2s(jax.nn.sigmoid(mean_p + res_p))  # packed 1-channel -> [B,H,W,1]
 
         reflectance = x / (illu + model.epsilon)
 
         # Scale towers: scale1 packed; scale2/3 (low-res) via Flax.
-        f1p = jax.nn.relu(conv_s2d(xp, self.k_s1conv, bias=self.b_s1conv))
+        f1p = _conv_auto(xp, self.k_s1conv, bias=self.b_s1conv, relu=True)
         f1p = self._fam_packed(f1p)
 
         h, w = x.shape[1], x.shape[2]
@@ -243,8 +266,8 @@ class PackedRetinex:
         f3p = s2d(resize_bilinear(f3, h, w))
 
         fused = _interleave_packed([f1p, f2p, f3p], 32)
-        fused = conv_s2d(fused, self.k_fusion, bias=self.b_fusion)
-        e_map = d2s(jax.nn.sigmoid(conv_s2d(fused, self.k_output, bias=self.b_output)))
+        fused = _conv_auto(fused, self.k_fusion, bias=self.b_fusion)
+        e_map = d2s(jax.nn.sigmoid(_conv_auto(fused, self.k_output, bias=self.b_output)))
 
         enhanced = reflectance * e_map + (1.0 - reflectance) * (e_map**2)
         return enhanced, reflectance, illu

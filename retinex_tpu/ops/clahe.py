@@ -16,11 +16,14 @@ input (see tests/test_clahe.py golden tests vs cv2):
 4. Each output pixel bilinearly interpolates the 4 neighbouring tile LUTs with
    tile coordinates tx = x/tileW - 0.5, clamped at the borders.
 
-Two implementations are provided:
-- `clahe_u8`: pure-jnp reference (one-hot histograms via sorted-free matmul-ish
-  reductions; fine for correctness and small batches).
-- `clahe_u8_pallas`: Pallas tile-histogram kernel (see ops/clahe_pallas.py) —
-  the production path on TPU; falls back to `clahe_u8` off-TPU.
+Implementations:
+- `clahe_u8`: pure-jnp reference (one-hot histograms + LUT gathers; fine for
+  correctness and small batches, gather-bound on TPU).
+- `clahe_u8_fast` (ops/clahe_fast.py): the nibble-decomposed MXU/VPU
+  reformulation — the production path (no per-pixel gathers).
+- `clahe_lab_rgb_pallas` (ops/clahe_pallas.py): the fully-fused Mosaic/Pallas
+  pipeline, reachable via `clahe_lab_rgb(use_pallas=True)` on cell-divisible
+  shapes; bit-compatible, speed comparison in BENCH_NOTES.md.
 """
 
 from __future__ import annotations
@@ -144,33 +147,43 @@ def clahe_lab_rgb(
     x: jnp.ndarray,
     clip_limit: float = 2.0,
     tiles: int = 8,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """The reference's full Lab-CLAHE pipeline as one fused graph.
 
     x: float [0,1] NHWC (or HWC) RGB. Reproduces
     enhancers/adaptive_params.py:121-169: round to uint8, RGB->Lab (8-bit
     scale), CLAHE on L only, merge, Lab->RGB, back to float [0,1].
+
+    use_pallas: None/True route through the Pallas gather pipeline
+    (ops/clahe_gather.py — the fastest path, ~1.9x the XLA path) when running
+    on TPU with a supported shape, falling back to XLA otherwise; False
+    forces the XLA nibble-MXU path. The two agree within +-1/255 on ~1e-5 of
+    pixels (FMA/pow lowering differences, PARITY.md).
     """
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
+    if use_pallas is None:
+        use_pallas = True
+    if use_pallas and jax.devices()[0].platform != "cpu":
+        from retinex_tpu.ops.clahe_gather import clahe_lab_rgb_gather, gather_supported
+
+        if gather_supported(x.shape[1], x.shape[2], tiles, tiles):
+            out = clahe_lab_rgb_gather(x, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles)
+            return out[0] if squeeze else out
     xq = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
     # Quantize the whole Lab tensor to uint8 immediately: it has multiple
     # consumers (CLAHE path + the a/b pass-through), so XLA materializes it —
     # at 1/4 the HBM bytes of f32. (The u8 rounding is the cv2 semantics anyway.)
     lab = jnp.clip(jnp.round(rgb_to_lab_u8(xq)), 0, 255).astype(jnp.uint8)
     l_u8 = lab[..., 0]
-    if use_pallas:
-        from retinex_tpu.ops.clahe_pallas import clahe_u8_pallas
+    # The MXU nibble-decomposed path (bit-compatible, ~60x faster on TPU than
+    # gathers); falls back to the gather-based reference for
+    # non-cell-divisible shapes.
+    from retinex_tpu.ops.clahe_fast import clahe_u8_fast
 
-        l_eq = clahe_u8_pallas(l_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles)
-    else:
-        # The MXU nibble-decomposed path (bit-compatible, ~60x faster on TPU);
-        # falls back to the gather-based reference for non-cell-divisible shapes.
-        from retinex_tpu.ops.clahe_fast import clahe_u8_fast
-
-        l_eq = clahe_u8_fast(l_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles)
+    l_eq = clahe_u8_fast(l_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles)
     # a/b channels pass through in uint8 exactly as cv2.split/merge does.
     lab_eq = jnp.stack(
         [

@@ -1,0 +1,348 @@
+"""Gather-based CLAHE apply: Mosaic same-shape lane gathers replace one-hot algebra.
+
+The XLA nibble-MXU apply stage (ops/clahe_fast.py) evaluates each 256-entry
+tile LUT as ~272 MACs/pixel of dense one-hot contractions — VPU
+speed-of-light for that algorithm is ~5 ms per 8-frame 1080p batch. Mosaic
+supports `jnp.take_along_axis` when table and index shapes MATCH, and a
+same-shape lane gather costs ~1 VPU op: a full 256-LUT lookup measures ~0.3 ms
+for the whole batch (scripts/probe_gather3.py).
+
+Architecture (v2 — no cellize: XLA relayout glue measured 6 ms/batch in v1):
+
+- XLA: forward colorspace (ops/colorspace.rgb_to_lab_u8) -> PLANAR uint8 Lab
+  [B, 3, H, W]; per-tile histograms via the nibble-MXU contraction; OpenCV
+  clip/redistribute/CDF LUT build; neighbour-LUT lane tables.
+- Pallas kernel, grid (B, ncy): block = one half-tile row band in natural
+  layout [3, hh, W] (W on lanes). Within a band the y-neighbour tiles and the
+  ya parity are fixed. Each x-cell's 4 neighbour LUTs are laid out along the
+  W lane axis in `ceil(256/hw)` chunks (entry e of cell c at lane c*hw+e), so
+  a pixel at lane l looks up LUT[v] with a same-shape lane gather at index
+  `(l//hw)*hw + (v % hw)` in chunk `v // hw`. 4 LUTs x 3 chunks = 12 gathers
+  + selects per pixel, then the bilinear blend and the inverse Lab->RGB
+  colorspace, all in one pass over the band.
+
+Bit-compatible with ops/clahe_fast.clahe_u8_fast up to FMA formation (rare
++-1 at exact .5 blend ties) and Mosaic's pow lowering in the inverse
+colorspace (+-1 level); the XLA path itself sits within +-1 of cv2's
+fixed-point pipeline (tests/test_clahe.py), and PARITY.md documents the
+tolerance budget.
+
+Reference behavior reproduced: enhancers/adaptive_params.py:121-169
+(cv2 Lab CLAHE on the L channel, clip 2.0, 8x8 tiles).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from retinex_tpu.ops.clahe import HIST_SIZE
+from retinex_tpu.ops.clahe_fast import _blend_weights, _luts_from_hist, _neighbor_index_tables
+from retinex_tpu.ops.colorspace import srgb_to_linear
+
+MAX_CHUNKS = 4  # fall back to the XLA path when ceil(256/hw) exceeds this
+
+# D65 constants matching ops/colorspace.py (python tuples: jnp-array constants
+# can't be captured by Pallas kernels).
+_RGB2XYZ_T = (
+    (0.412453, 0.357580, 0.180423),
+    (0.212671, 0.715160, 0.072169),
+    (0.019334, 0.119193, 0.950227),
+)
+_XYZ2RGB = (
+    (3.240479, -1.537150, -0.498535),
+    (-0.969256, 1.875992, 0.041556),
+    (0.055648, -0.204043, 1.057311),
+)
+_XN = 0.950456
+_ZN = 1.088754
+
+
+def _lab_f_inv(ft):
+    # ft**3 (not ft*ft*ft): matches ops/colorspace._lab_f_inv.
+    return jnp.where(ft > 6.0 / 29.0, ft**3, (ft - 16.0 / 116.0) / 7.787)
+
+
+def _linear_to_srgb(x):
+    x = jnp.maximum(x, 0.0)
+    return jnp.where(x <= 0.0031308, x * 12.92, 1.055 * x ** (1.0 / 2.4) - 0.055)
+
+
+def gather_supported(h: int, w: int, tiles_y: int, tiles_x: int) -> bool:
+    """Shapes the Pallas gather kernel handles (others use the XLA path):
+    cell-divisible, cell width within one 128-lane vreg (Mosaic dynamic_gather
+    addresses a single vreg), and few enough LUT chunks to stay cheap."""
+    if h % (2 * tiles_y) or w % (2 * tiles_x):
+        return False
+    hw = w // (2 * tiles_x)
+    return hw <= 128 and -(-HIST_SIZE // hw) <= MAX_CHUNKS
+
+
+def _apply_kernel(hh, hw, n_chunks, lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
+    """One program = one half-tile row band of one image.
+
+    The band's W axis is pre-split into (ncx, hw) so the minor two dims map a
+    vreg sublane to one x-cell and its lanes to the pixel offset inside that
+    cell. Mosaic's dynamic_gather only addresses a single vreg along the lane
+    axis, so each LUT table row is one <=128-entry chunk of its cell's LUT —
+    exactly the per-sublane gather the hardware supports.
+
+    lab_ref:  [3, hh, ncx, hw] uint8 Lab
+    luts_ref: [4, n_chunks, ncx, hw] f32 — LUT entry k*hw+e of x-cell c at
+              [l, k, c, e] for the 4 bilinear neighbours
+    xa_ref:   [ncx, hw] f32 — xa blend weight (x-cell parity baked in)
+    ya_ref:   [hh, 2] f32 — ya by (y offset, cell-y parity)
+    out_ref:  [3, hh, ncx, hw] f32 RGB in [0,1]
+    """
+    cy = pl.program_id(1)
+    ncx = lab_ref.shape[2]
+    rows = hh * ncx
+    # Mosaic's dynamic_gather is 2D-only: flatten (hh, ncx) -> rows (a free,
+    # layout-preserving leading-dim merge; lanes stay hw).
+    v = lab_ref[0].astype(jnp.int32).reshape(rows, hw)
+    shape = (rows, hw)
+
+    xa = jnp.broadcast_to(xa_ref[None], (hh, ncx, hw)).reshape(shape)
+    ya2 = jnp.where(cy % 2 == 0, ya_ref[:, 0:1], ya_ref[:, 1:2])  # [hh, 1]
+    ya = jnp.broadcast_to(ya2[:, :, None], (hh, ncx, hw)).reshape(shape)
+
+    chunk = v // hw
+
+    def lookup(l):
+        val = jnp.zeros(shape, jnp.float32)
+        for k in range(n_chunks):
+            # Tables ship as uint8 (LUT values <= 255): cast the tiny
+            # [ncx, hw] row before broadcasting, not per pixel.
+            t_small = luts_ref[l, k].astype(jnp.int32).astype(jnp.float32)
+            t = jnp.broadcast_to(t_small[None], (hh, ncx, hw)).reshape(shape)
+            idx = jnp.clip(v - k * hw, 0, hw - 1)
+            g = jnp.take_along_axis(t, idx, axis=1)
+            val = jnp.where(chunk == k, g, val)
+        return val
+
+    l00 = lookup(0)
+    l01 = lookup(1)
+    l10 = lookup(2)
+    l11 = lookup(3)
+
+    # Same multiply arrangement as clahe_u8_fast so .5-tie rounding matches.
+    top = l00 * (1.0 - xa) + l01 * xa
+    bot = l10 * (1.0 - xa) + l11 * xa
+    L2 = jnp.clip(jnp.round(top * (1.0 - ya) + bot * ya), 0.0, 255.0)
+
+    # Inverse 8-bit-scale Lab -> RGB (matches ops/colorspace.lab_u8_to_rgb).
+    # Mosaic has no direct uint8 -> f32 cast; hop through int32.
+    a8 = lab_ref[1].astype(jnp.int32).astype(jnp.float32).reshape(shape)
+    b8 = lab_ref[2].astype(jnp.int32).astype(jnp.float32).reshape(shape)
+    fy = (L2 * (100.0 / 255.0) + 16.0) / 116.0
+    fx = fy + (a8 - 128.0) / 500.0
+    fz = fy - (b8 - 128.0) / 200.0
+    Y = _lab_f_inv(fy)
+    X = _lab_f_inv(fx) * _XN
+    Z = _lab_f_inv(fz) * _ZN
+    m = _XYZ2RGB
+    for c in range(3):
+        ch = _linear_to_srgb(m[c][0] * X + m[c][1] * Y + m[c][2] * Z)
+        ch = jnp.round(jnp.clip(ch, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        out_ref[c] = ch.astype(jnp.uint8).reshape(hh, ncx, hw)
+
+
+def _fwd_kernel(hh, hw, n_chunks, rgb_ref, dg_ref, out_ref):
+    """Forward colorspace: planar u8 sRGB -> 8-bit-scale Lab u8, one row band.
+
+    rgb_ref: [3, hh, ncx, hw] uint8; dg_ref: [n_chunks, hw] f32 (sRGB de-gamma
+    LUT: dg[k, e] = srgb_to_linear((k*hw+e)/255) — gathers reproduce the XLA
+    path's de-gamma bit-for-bit since inputs are u8); out_ref like rgb_ref.
+    The only divergence from ops/colorspace.rgb_to_lab_u8 is Mosaic's
+    pow(x, 1/3) standing in for cbrt (no cbrt primitive): +-1 L level on a
+    ~1e-5 fraction of pixels.
+    """
+    ncx = rgb_ref.shape[2]
+    rows = hh * ncx
+    shape = (rows, hw)
+
+    def degamma(c):
+        v = rgb_ref[c].astype(jnp.int32).reshape(shape)
+        chunk = v // hw
+        val = jnp.zeros(shape, jnp.float32)
+        for k in range(n_chunks):
+            t = jnp.broadcast_to(dg_ref[k][None], shape)
+            idx = jnp.clip(v - k * hw, 0, hw - 1)
+            g = jnp.take_along_axis(t, idx, axis=1)
+            val = jnp.where(chunk == k, g, val)
+        return val
+
+    r, g, b_ = degamma(0), degamma(1), degamma(2)
+    m = _RGB2XYZ_T
+    X = (m[0][0] * r + m[0][1] * g + m[0][2] * b_) / _XN
+    Y = m[1][0] * r + m[1][1] * g + m[1][2] * b_
+    Z = (m[2][0] * r + m[2][1] * g + m[2][2] * b_) / _ZN
+
+    def lab_f(t):
+        cuberoot = jnp.power(jnp.maximum(t, 1e-12), 1.0 / 3.0)
+        return jnp.where(t > 0.008856, cuberoot, 7.787 * t + 16.0 / 116.0)
+
+    fx, fy, fz = lab_f(X), lab_f(Y), lab_f(Z)
+    L8 = (116.0 * fy - 16.0) * (255.0 / 100.0)
+    a8 = 500.0 * (fx - fy) + 128.0
+    b8 = 200.0 * (fy - fz) + 128.0
+    for c, ch in enumerate((L8, a8, b8)):
+        q = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(jnp.int32)
+        out_ref[c] = q.astype(jnp.uint8).reshape(hh, ncx, hw)
+
+
+def _hist_planar(l_u8: jnp.ndarray, tiles_y: int, tiles_x: int) -> jnp.ndarray:
+    """Per-tile histograms from [B, H, W] uint8 (nibble-MXU, ops/clahe_fast math)."""
+    b, h, w = l_u8.shape
+    th, tw = h // tiles_y, w // tiles_x
+    v = l_u8.astype(jnp.int32)
+    tiles = (
+        v.reshape(b, tiles_y, th, tiles_x, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, tiles_y, tiles_x, th * tw)
+    )
+    iota = jnp.arange(16, dtype=jnp.int32)
+    hi_oh = ((tiles >> 4)[..., None] == iota).astype(jnp.bfloat16)
+    lo_oh = ((tiles & 15)[..., None] == iota).astype(jnp.bfloat16)
+    hist16 = jnp.einsum(
+        "btxpi,btxpj->btxij", hi_oh, lo_oh, preferred_element_type=jnp.float32
+    )
+    return hist16.reshape(b, tiles_y, tiles_x, HIST_SIZE).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
+)
+def clahe_rgb_u8_gather(
+    x_u8: jnp.ndarray,
+    clip_limit: float = 2.0,
+    tiles_x: int = 8,
+    tiles_y: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """uint8-native Lab-CLAHE pipeline (the production ingest path: decoded
+    images are uint8; shipping u8 halves HBM traffic vs the float API).
+
+    x_u8: uint8 NHWC (or HWC) RGB -> uint8 of the same shape. Requires
+    `gather_supported` shapes (callers fall back to the XLA path otherwise).
+    """
+    squeeze = x_u8.ndim == 3
+    if squeeze:
+        x_u8 = x_u8[None]
+    b, h, w, _ = x_u8.shape
+    if not gather_supported(h, w, tiles_y, tiles_x):
+        raise ValueError(f"shape {(h, w)} unsupported by the gather kernel")
+    ncy, ncx = 2 * tiles_y, 2 * tiles_x
+    hh, hw = h // ncy, w // ncx
+    n_chunks = -(-HIST_SIZE // hw)
+    area = (2 * hh) * (2 * hw)
+
+    # ---- XLA: planar u8 relayout; Pallas: forward colorspace ----
+    rgb6 = x_u8.transpose(0, 3, 1, 2).reshape(b, 3, ncy, hh, ncx, hw)
+    dg_vals = srgb_to_linear(jnp.arange(HIST_SIZE, dtype=jnp.float32) / 255.0)
+    dg_tab = jnp.pad(dg_vals, (0, n_chunks * hw - HIST_SIZE)).reshape(n_chunks, hw)
+
+    lab6 = pl.pallas_call(
+        functools.partial(_fwd_kernel, hh, hw, n_chunks),
+        grid=(b, ncy),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 3, None, hh, ncx, hw),
+                lambda i, j: (i, 0, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((n_chunks, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 3, None, hh, ncx, hw),
+            lambda i, j: (i, 0, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 3, ncy, hh, ncx, hw), jnp.uint8),
+        interpret=interpret,
+    )(rgb6, dg_tab)
+
+    hist = _hist_planar(lab6[:, 0].reshape(b, h, w), tiles_y, tiles_x)
+    luts = _luts_from_hist(hist, clip_limit, area).astype(jnp.float32)
+    luts16 = luts.reshape(b, tiles_y, tiles_x, HIST_SIZE)
+
+    t0y, t1y = _neighbor_index_tables(tiles_y)
+    t0x, t1x = _neighbor_index_tables(tiles_x)
+    lut4 = jnp.stack(
+        [
+            luts16[:, t0y][:, :, t0x],
+            luts16[:, t0y][:, :, t1x],
+            luts16[:, t1y][:, :, t0x],
+            luts16[:, t1y][:, :, t1x],
+        ],
+        axis=2,
+    )  # [b, ncy, 4, ncx, 256]
+    # Chunked LUT tables: entry k*hw+e of x-cell c at [.., l, k, c, e].
+    # uint8: values <= 255, and f32 tables would be ~100 MB/batch of HBM reads.
+    pad = n_chunks * hw - HIST_SIZE
+    lut4 = jnp.pad(lut4, ((0, 0),) * 4 + ((0, pad),))
+    lane_luts = (
+        lut4.reshape(b, ncy, 4, ncx, n_chunks, hw)
+        .transpose(0, 1, 2, 4, 3, 5)
+        .astype(jnp.uint8)
+    )
+
+    wx = _blend_weights(hw)  # [2, hw] f32
+    wy = _blend_weights(hh)  # [2, hh] f32
+    xa_tab = jnp.asarray(wx[np.arange(ncx) % 2])  # [ncx, hw]
+    ya_tab = jnp.asarray(np.ascontiguousarray(wy.T))  # [hh, 2]
+
+    # ---- Pallas: LUT apply + inverse colorspace over row bands ----
+    labp6 = lab6
+    rgbp = pl.pallas_call(
+        functools.partial(_apply_kernel, hh, hw, n_chunks),
+        grid=(b, ncy),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 3, None, hh, ncx, hw),
+                lambda i, j: (i, 0, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, None, 4, n_chunks, ncx, hw),
+                lambda i, j: (i, j, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((ncx, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hh, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 3, None, hh, ncx, hw),
+            lambda i, j: (i, 0, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 3, ncy, hh, ncx, hw), jnp.uint8),
+        interpret=interpret,
+    )(labp6, lane_luts, xa_tab, ya_tab)
+
+    out = rgbp.reshape(b, 3, h, w).transpose(0, 2, 3, 1)
+    return out[0] if squeeze else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
+)
+def clahe_lab_rgb_gather(
+    x: jnp.ndarray,
+    clip_limit: float = 2.0,
+    tiles_x: int = 8,
+    tiles_y: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Float wrapper over :func:`clahe_rgb_u8_gather` (drop-in for
+    ops/clahe.clahe_lab_rgb on supported shapes). x: float [0,1] NHWC/HWC."""
+    xq = jnp.clip(jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
+    out = clahe_rgb_u8_gather(
+        xq, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y, interpret=interpret
+    )
+    return out.astype(jnp.float32) / 255.0

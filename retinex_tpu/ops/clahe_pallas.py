@@ -284,10 +284,3 @@ def clahe_lab_rgb_pallas(
     return out[0] if squeeze else out
 
 
-def clahe_u8_pallas(img_u8, clip_limit: float = 2.0, tiles_x: int = 8, tiles_y: int = 8):
-    """CLAHE on uint8-valued [B,H,W] (or [H,W]) arrays (L channel only):
-    routes to the MXU nibble-decomposition XLA path; the fused Pallas pipeline
-    (clahe_lab_rgb_pallas) covers the full Lab round trip."""
-    from retinex_tpu.ops.clahe_fast import clahe_u8_fast
-
-    return clahe_u8_fast(img_u8, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y)

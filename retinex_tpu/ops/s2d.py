@@ -147,32 +147,29 @@ def conv_s2d(
 def maxpool3x3_s1_s2d(x_packed: jnp.ndarray) -> jnp.ndarray:
     """3x3 stride-1 max pool ('SAME', -inf padding) in packed space.
 
-    Output quadrant (c,d) = max over the 9 original taps, each of which is a
-    (shift, quadrant)-select of the packed tensor.
+    Separable: a 3-tap max along rows then along columns (max is associative,
+    so this is exact) — 4 passes over the tensor instead of the 9x4-quadrant
+    tap enumeration (36 slices) of the direct form.
+
+    Row pass, output row-quadrant c at packed row I covers original rows
+    2I+c-1 .. 2I+c+1: c=0 -> {(I-1,a=1), (I,a=0), (I,a=1)},
+    c=1 -> {(I,a=0), (I,a=1), (I+1,a=0)}. Column pass is symmetric in d.
     """
     b, hh, ww, c4 = x_packed.shape
     c = c4 // 4
-    neg = jnp.asarray(-jnp.inf, x_packed.dtype)
-    xp = jnp.pad(
-        x_packed, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg
-    )
+    neg = float("-inf")
+    q = x_packed.reshape(b, hh, ww, 2, 2, c)
 
-    def quad(a, b_):
-        return lambda dy, dx: xp[
-            :, 1 + dy : 1 + dy + hh, 1 + dx : 1 + dx + ww, (a * 2 + b_) * c : (a * 2 + b_ + 1) * c
-        ]
+    qp = jnp.pad(q, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)), constant_values=neg)
+    mid = qp[:, 1 : 1 + hh]
+    both = jnp.maximum(mid[:, :, :, 0], mid[:, :, :, 1])  # max over a at row I
+    v0 = jnp.maximum(qp[:, 0:hh, :, 1], both)
+    v1 = jnp.maximum(both, qp[:, 2 : 2 + hh, :, 0])
+    v = jnp.stack([v0, v1], axis=3)  # [b, hh, ww, c_q, d_q, c]
 
-    outs = []
-    for c_q in range(2):
-        for d_q in range(2):
-            acc = None
-            for u in (-1, 0, 1):
-                a = (c_q + u) & 1
-                p = (c_q + u) >> 1
-                for v in (-1, 0, 1):
-                    bb = (d_q + v) & 1
-                    q = (d_q + v) >> 1
-                    term = quad(a, bb)(p, q)
-                    acc = term if acc is None else jnp.maximum(acc, term)
-            outs.append(acc)
-    return jnp.concatenate(outs, axis=-1)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0), (0, 0)), constant_values=neg)
+    midw = vp[:, :, 1 : 1 + ww]
+    bothw = jnp.maximum(midw[:, :, :, :, 0], midw[:, :, :, :, 1])
+    h0 = jnp.maximum(vp[:, :, 0:ww, :, 1], bothw)
+    h1 = jnp.maximum(bothw, vp[:, :, 2 : 2 + ww, :, 0])
+    return jnp.stack([h0, h1], axis=4).reshape(b, hh, ww, c4)

@@ -20,6 +20,7 @@ from datetime import datetime
 import jax
 import jax.numpy as jnp
 import numpy as np
+from tqdm import tqdm
 
 from retinex_tpu.config import Config
 from retinex_tpu.data.augment import augment_batch
@@ -83,16 +84,37 @@ def train(config: Config) -> dict:
     else:
         epoch_schedule = step_decay(config.lr, config.lr_decay_step, config.lr_decay_gamma)
 
+    # drop_last whenever at least one full batch remains: a ragged final batch
+    # would be padded by duplicating samples, which biases gradients and the
+    # logged loss means (the dupes are indistinguishable from real samples in
+    # every reduction). With shuffle=True a different random remainder is
+    # dropped each epoch, so all data is still seen across epochs. Datasets
+    # smaller than one batch keep the padding path (nothing to drop).
     loader = get_train_loader(
         image_dir=config.train_dir,
         batch_size=config.batch_size,
         image_size=config.image_size,
         num_workers=config.num_workers,
         shuffle=True,
+        drop_last=True,
         seed=config.seed,
     )
+    if len(loader) == 0:
+        loader = get_train_loader(
+            image_dir=config.train_dir,
+            batch_size=config.batch_size,
+            image_size=config.image_size,
+            num_workers=config.num_workers,
+            shuffle=True,
+            drop_last=False,
+            seed=config.seed,
+        )
     steps_per_epoch = max(len(loader), 1)
-    print(f"{len(loader.dataset)} images, {steps_per_epoch} batches/epoch")
+    dropped = len(loader.dataset) - steps_per_epoch * config.batch_size
+    print(
+        f"{len(loader.dataset)} images, {steps_per_epoch} batches/epoch"
+        + (f" ({dropped} re-shuffled into later epochs)" if dropped > 0 else "")
+    )
 
     # The reference steps its scheduler per *epoch*; express that as a
     # per-step optax schedule.
@@ -132,7 +154,17 @@ def train(config: Config) -> dict:
         epoch_sums: dict[str, float] = {k: 0.0 for k in LOG_KEYS}
         num_batches = 0
 
-        for batch_idx, host_batch in enumerate(loader):
+        # Live progress bar with loss postfix (reference: trainers/train.py:61,
+        # :110-116). The postfix refreshes at the logging interval so the bar
+        # doesn't force a device sync every batch.
+        bar = tqdm(
+            enumerate(loader),
+            total=steps_per_epoch,
+            desc=f"Epoch {epoch}/{config.num_epochs - 1}",
+            leave=False,
+            disable=not config.progress_bar,
+        )
+        for batch_idx, host_batch in bar:
             host_batch, _ = pad_to_multiple(host_batch, n_dev)
             # uint8 over the wire; augment_batch normalizes on device.
             batch = shard_batch(host_batch, mesh)
@@ -146,6 +178,7 @@ def train(config: Config) -> dict:
                 fetched = {k: float(v) for k, v in loss_dict.items()}
                 global_step = epoch * steps_per_epoch + batch_idx
                 logger.add_scalars("Loss", fetched, global_step)
+                bar.set_postfix({k: f"{v:.4f}" for k, v in fetched.items() if k == "total"})
             for k in LOG_KEYS:
                 if k in loss_dict:
                     epoch_sums[k] += loss_dict[k]  # device-side accumulation
@@ -164,7 +197,7 @@ def train(config: Config) -> dict:
             + " ".join(f"{k}={v:.4f}" for k, v in avg_losses.items())
         )
 
-        if epoch % 10 == 0:
+        if epoch % max(config.save_freq, 1) == 0:
             _save_sample_visualizations(model, state, loader, mesh, epoch, config.save_dir)
 
         current = avg_losses["total"]
@@ -200,15 +233,18 @@ def _save_sample_visualizations(model, state, loader, mesh, epoch, save_dir):
     vis_dir = os.path.join(save_dir, "visualizations")
     os.makedirs(vis_dir, exist_ok=True)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    for batch_idx, host_batch in enumerate(loader):
-        if batch_idx >= 2:
-            break
-        batch = jnp.asarray(host_batch[:2].astype(np.float32) / 255.0)
-        enhanced, _refl, illu = model.apply(variables, batch, train=False)
-        for i in range(min(2, batch.shape[0])):
-            visualize_results(
-                batch[i],
-                enhanced[i],
-                illu[i],
-                save_path=os.path.join(vis_dir, f"epoch_{epoch}_batch_{batch_idx}_sample_{i}.png"),
-            )
+    # Breaking out of a fresh epoch iterator early requires close(): the
+    # producer thread would otherwise block on the bounded prefetch queue.
+    with iter(loader) as it:
+        for batch_idx, host_batch in enumerate(it):
+            if batch_idx >= 2:
+                break
+            batch = jnp.asarray(host_batch[:2].astype(np.float32) / 255.0)
+            enhanced, _refl, illu = model.apply(variables, batch, train=False)
+            for i in range(min(2, batch.shape[0])):
+                visualize_results(
+                    batch[i],
+                    enhanced[i],
+                    illu[i],
+                    save_path=os.path.join(vis_dir, f"epoch_{epoch}_batch_{batch_idx}_sample_{i}.png"),
+                )

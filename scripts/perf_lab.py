@@ -1,0 +1,779 @@
+#!/usr/bin/env python3
+"""Perf lab: throughput experiments for the classical CLAHE pipeline on TPU.
+
+Each experiment is a named jitted function measured with the slope method
+(BENCH_NOTES.md): K dispatches + one forced scalar fetch, slope between K=1
+and K=9 cancels the axon tunnel RTT. Distinct inputs cycle to defeat
+dispatch short-circuiting.
+
+Usage: python scripts/perf_lab.py EXP [EXP...]   (or 'all')
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+H, W = 1088, 1920
+TILES = 8
+TH, TW = H // TILES, W // TILES          # 136 x 240
+HH, HW = TH // 2, TW // 2                # 68 x 120
+AREA = TH * TW                           # 32640
+P = HH * HW                              # 8160
+NCY, NCX = 2 * TILES, 2 * TILES
+
+from retinex_tpu.ops.clahe import clahe_lab_rgb  # noqa: E402
+from retinex_tpu.ops.clahe_fast import (  # noqa: E402
+    _blend_weights,
+    _luts_from_hist,
+    _neighbor_index_tables,
+    clahe_u8_fast,
+)
+from retinex_tpu.ops.colorspace import lab_u8_to_rgb, rgb_to_lab_u8  # noqa: E402
+
+HIST_SIZE = 256
+
+
+def _timed(fn, inputs, k):
+    start = time.perf_counter()
+    out = None
+    for i in range(k):
+        out = fn(inputs[i % len(inputs)])
+    jax.tree.map(lambda a: float(jnp.sum(a.astype(jnp.float32))), out)
+    return time.perf_counter() - start
+
+
+def measure(name, fn, inputs, k_big=9, repeats=3, batch=None):
+    _timed(fn, inputs, 1)  # compile+warm
+    t1 = min(_timed(fn, inputs, 1) for _ in range(repeats))
+    t2 = min(_timed(fn, inputs, k_big) for _ in range(repeats))
+    dt = max((t2 - t1) / (k_big - 1), 1e-9)
+    b = batch or inputs[0].shape[0]
+    print(f"{name:36s} {dt * 1e3:8.2f} ms/batch  {b / dt:9.1f} fps", flush=True)
+    return dt
+
+
+def make_inputs(batch=8, n=4, dtype=np.float32):
+    rng = np.random.default_rng(0)
+    return [
+        jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32) * 0.6, dtype=dtype)
+        for _ in range(n)
+    ]
+
+
+def make_u8_inputs(batch=8, n=4):
+    rng = np.random.default_rng(0)
+    return [
+        jnp.asarray(rng.integers(0, 256, (batch, H, W), dtype=np.uint8).astype(np.int32))
+        for _ in range(n)
+    ]
+
+
+# ---------------- stage pieces (current implementation) ----------------
+
+
+@jax.jit
+def stage_fwd_colorspace(x):
+    xq = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
+    return jnp.clip(jnp.round(rgb_to_lab_u8(xq)), 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
+def stage_inv_colorspace(lab):
+    rgb = lab_u8_to_rgb(lab.astype(jnp.float32))
+    return jnp.round(rgb * 255.0) / 255.0
+
+
+@jax.jit
+def stage_clahe_u8(l_u8):
+    return clahe_u8_fast(l_u8)
+
+
+# ---------------- packed-K experiments ----------------
+
+
+def _striped_onehots(v, dtype=jnp.bfloat16):
+    """v int32 [..., q, 8] -> (hi128, lo128) one-hots [..., q, 128] where lane
+    l = 16*s + i holds (nibble(v[..., s]) == i). Eight pixels share one
+    128-wide K-row, so the MXU streams 8x fewer K-rows than a [P,16] layout."""
+    lane = jnp.arange(128, dtype=jnp.int32)
+    nib = lane % 16
+    hi = jnp.repeat(v >> 4, 16, axis=-1)
+    lo = jnp.repeat(v & 15, 16, axis=-1)
+    return (hi == nib).astype(dtype), (lo == nib).astype(dtype)
+
+
+@jax.jit
+def hist_packed(l_u8):
+    """Per-tile 256-bin histograms via the 8-pixel-per-K-row packing."""
+    b = l_u8.shape[0]
+    v = l_u8.astype(jnp.int32)
+    tiles = (
+        v.reshape(b, TILES, TH, TILES, TW).transpose(0, 1, 3, 2, 4).reshape(b, TILES, TILES, AREA)
+    )
+    q8 = tiles.reshape(b, TILES, TILES, AREA // 8, 8)
+    A, B = _striped_onehots(q8)
+    C = jnp.einsum("btxqk,btxql->btxkl", A, B, preferred_element_type=jnp.float32)
+    C6 = C.reshape(b, TILES, TILES, 8, 16, 8, 16)
+    hist16 = jnp.einsum("btxsisj->btxij", C6)
+    return hist16.reshape(b, TILES, TILES, HIST_SIZE).astype(jnp.int32)
+
+
+@jax.jit
+def hist_current(l_u8):
+    """Round-1 per-cell nibble outer products (for comparison)."""
+    b = l_u8.shape[0]
+    v = l_u8.astype(jnp.int32)
+    cells = v.reshape(b, NCY, HH, NCX, HW).transpose(0, 1, 3, 2, 4).reshape(b, NCY, NCX, P)
+    iota = jnp.arange(16, dtype=jnp.int32)
+    hi_oh = ((cells >> 4)[..., None] == iota).astype(jnp.bfloat16)
+    lo_oh = ((cells & 15)[..., None] == iota).astype(jnp.bfloat16)
+    cell_hist = jnp.einsum("bcdpi,bcdpj->bcdij", hi_oh, lo_oh, preferred_element_type=jnp.float32)
+    hist16 = cell_hist.reshape(b, TILES, 2, TILES, 2, 16, 16).sum(axis=(2, 4))
+    return hist16.reshape(b, TILES, TILES, HIST_SIZE).astype(jnp.int32)
+
+
+def _block_diag_lut(lut16):
+    """lut16 [..., 16, 16] -> [..., 128, 128] with the LUT on each of the 8
+    diagonal 16x16 blocks (built elementwise so XLA fuses it into the dot)."""
+    lane = jnp.arange(128, dtype=jnp.int32)
+    si, sj = lane[:, None] // 16, lane[None, :] // 16
+    ii, jj = lane[:, None] % 16, lane[None, :] % 16
+    block = lut16[..., ii, jj]  # [..., 128, 128] gather of a tiny tensor
+    return jnp.where(si == sj, block, 0.0)
+
+
+@jax.jit
+def apply_packed(l_u8, luts):
+    """LUT application via block-diagonal [128,128] MXU dots.
+
+    l_u8: [b,H,W] int32; luts: [b,TILES,TILES,256] int32 -> [b,H,W] int32."""
+    b = l_u8.shape[0]
+    v = l_u8.astype(jnp.int32)
+    cells = v.reshape(b, NCY, HH, NCX, HW).transpose(0, 1, 3, 2, 4).reshape(b, NCY, NCX, P)
+    q8 = cells.reshape(b, NCY, NCX, P // 8, 8)
+    A, B = _striped_onehots(q8)
+
+    luts16 = luts.reshape(b, TILES, TILES, 16, 16).astype(jnp.bfloat16)
+    t0y, t1y = _neighbor_index_tables(TILES)
+    t0x, t1x = _neighbor_index_tables(TILES)
+    lut00 = luts16[:, t0y][:, :, t0x]
+    lut01 = luts16[:, t0y][:, :, t1x]
+    lut10 = luts16[:, t1y][:, :, t0x]
+    lut11 = luts16[:, t1y][:, :, t1x]
+
+    def eval_lut(lut):
+        bd = _block_diag_lut(lut)  # [b,ncy,ncx,128,128]
+        t = jnp.einsum("bcdqk,bcdkl->bcdql", A, bd, preferred_element_type=jnp.bfloat16)
+        prod = (t * B).reshape(b, NCY, NCX, P // 8, 8, 16)
+        return jnp.sum(prod, axis=-1, dtype=jnp.float32)  # [b,ncy,ncx,q,8]
+
+    l00 = eval_lut(lut00)
+    l01 = eval_lut(lut01)
+    l10 = eval_lut(lut10)
+    l11 = eval_lut(lut11)
+
+    wx_tab = jnp.asarray(_blend_weights(HW))
+    wy_tab = jnp.asarray(_blend_weights(HH))
+    xa = wx_tab[jnp.arange(NCX) % 2]  # [ncx, hw]
+    ya = wy_tab[jnp.arange(NCY) % 2]  # [ncy, hh]
+    xa_full = jnp.broadcast_to(xa[None, None, :, None, :], (b, NCY, NCX, HH, HW))
+    ya_full = jnp.broadcast_to(ya[None, :, None, :, None], (b, NCY, NCX, HH, HW))
+    xa_full = xa_full.reshape(b, NCY, NCX, P // 8, 8)
+    ya_full = ya_full.reshape(b, NCY, NCX, P // 8, 8)
+
+    top = l00 * (1.0 - xa_full) + l01 * xa_full
+    bot = l10 * (1.0 - xa_full) + l11 * xa_full
+    out = jnp.clip(jnp.round(top * (1.0 - ya_full) + bot * ya_full), 0, 255).astype(jnp.int32)
+    out = out.reshape(b, NCY, NCX, HH, HW).transpose(0, 1, 3, 2, 4)
+    return out.reshape(b, H, W)
+
+
+@functools.partial(jax.jit, static_argnames=("clip_limit",))
+def clahe_u8_packed(l_u8, clip_limit: float = 2.0):
+    hist = hist_packed(l_u8)
+    l2 = jax.lax.optimization_barrier(l_u8)
+    luts = _luts_from_hist(hist, clip_limit, AREA)
+    return apply_packed(l2, luts)
+
+
+@jax.jit
+def pipeline_packed(x):
+    """Full pipeline with packed hist + packed apply."""
+    xq = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
+    lab = jnp.clip(jnp.round(rgb_to_lab_u8(xq)), 0, 255).astype(jnp.uint8)
+    l_eq = clahe_u8_packed(lab[..., 0].astype(jnp.int32))
+    lab_eq = jnp.stack(
+        [
+            l_eq.astype(jnp.float32),
+            lab[..., 1].astype(jnp.float32),
+            lab[..., 2].astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    rgb = lab_u8_to_rgb(lab_eq)
+    return jnp.round(rgb * 255.0) / 255.0
+
+
+EXPERIMENTS = {}
+
+
+def exp(name):
+    def deco(fn):
+        EXPERIMENTS[name] = fn
+        return fn
+
+    return deco
+
+
+@exp("base")
+def run_base():
+    inputs = make_inputs()
+    measure("pipeline_current(XLA)", jax.jit(clahe_lab_rgb), inputs)
+
+
+@exp("stages")
+def run_stages():
+    inputs = make_inputs()
+    lab = [stage_fwd_colorspace(x) for x in inputs]
+    l_u8 = [la[..., 0].astype(jnp.int32) for la in lab]
+    measure("fwd_colorspace", stage_fwd_colorspace, inputs)
+    measure("clahe_u8_fast(hist+apply)", stage_clahe_u8, l_u8)
+    measure("inv_colorspace", stage_inv_colorspace, lab)
+
+
+@exp("hist")
+def run_hist():
+    l_u8 = make_u8_inputs()
+    a = hist_current(l_u8[0])
+    b = hist_packed(l_u8[0])
+    ok = bool(jnp.all(a == b))
+    print(f"hist_packed == hist_current: {ok}")
+    measure("hist_current", hist_current, l_u8)
+    measure("hist_packed", hist_packed, l_u8)
+
+
+@exp("apply")
+def run_apply():
+    l_u8 = make_u8_inputs()
+    want = [clahe_u8_fast(v) for v in l_u8]
+    got = [clahe_u8_packed(v) for v in l_u8]
+    diff = max(float(jnp.max(jnp.abs(w - g))) for w, g in zip(want, got))
+    print(f"clahe_u8_packed vs clahe_u8_fast max diff: {diff}")
+    measure("clahe_u8_fast (full)", stage_clahe_u8, l_u8)
+    measure("clahe_u8_packed (full)", clahe_u8_packed, l_u8)
+
+
+@exp("pipeline")
+def run_pipeline():
+    inputs = make_inputs()
+    want = clahe_lab_rgb(inputs[0])
+    got = pipeline_packed(inputs[0])
+    diff = float(jnp.max(jnp.abs(want - got)))
+    print(f"pipeline_packed vs current max diff: {diff * 255.0:.2f}/255")
+    measure("pipeline_current", jax.jit(clahe_lab_rgb), inputs)
+    measure("pipeline_packed", pipeline_packed, inputs)
+
+
+@exp("gather")
+def run_gather():
+    from retinex_tpu.ops.clahe_gather import clahe_lab_rgb_gather, clahe_rgb_u8_gather
+
+    inputs = make_inputs()
+    inputs_u8 = [
+        jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8) for x in inputs
+    ]
+    want = np.asarray(jax.jit(clahe_lab_rgb)(inputs[0]))
+    got = np.asarray(clahe_lab_rgb_gather(inputs[0]))
+    d = np.abs(want - got) * 255.0
+    print(f"gather vs current: max {d.max():.2f} levels, >0.5 frac {(d > 0.5).mean():.2e}")
+    measure("pipeline_current", jax.jit(clahe_lab_rgb), inputs)
+    measure("pipeline_gather_f32", clahe_lab_rgb_gather, inputs)
+    measure("pipeline_gather_u8", clahe_rgb_u8_gather, inputs_u8)
+
+
+@exp("gather_stages")
+def run_gather_stages():
+    import retinex_tpu.ops.clahe_gather as cg
+
+    inputs = make_inputs()
+    sp = -(-P // 128)
+
+    @jax.jit
+    def prefix(x):
+        xq = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
+        lab = jnp.clip(jnp.round(rgb_to_lab_u8(xq)), 0, 255).astype(jnp.uint8)
+        lab_cells = cg._cellize_u8(lab, TILES, TILES, sp)
+        hist = cg._hist_from_cells(lab_cells[:, :, :, 0], TILES, TILES, P)
+        luts = _luts_from_hist(hist, 2.0, AREA).astype(jnp.float32)
+        luts16 = luts.reshape(8, TILES, TILES, 256)
+        t0y, t1y = _neighbor_index_tables(TILES)
+        t0x, t1x = _neighbor_index_tables(TILES)
+        lut4 = jnp.stack(
+            [
+                luts16[:, t0y][:, :, t0x],
+                luts16[:, t0y][:, :, t1x],
+                luts16[:, t1y][:, :, t0x],
+                luts16[:, t1y][:, :, t1x],
+            ],
+            axis=3,
+        ).reshape(8, NCY, NCX, 4, 2, 128)
+        return lab_cells, lut4
+
+    @jax.jit
+    def cellize_only(x):
+        xq = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
+        lab = jnp.clip(jnp.round(rgb_to_lab_u8(xq)), 0, 255).astype(jnp.uint8)
+        return cg._cellize_u8(lab, TILES, TILES, sp)
+
+    pre = [prefix(x) for x in inputs]
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    group = 16
+    hh, hw = HH, HW
+
+    @jax.jit
+    def kernel_only(args):
+        lab_cells, lut4 = args
+        wx = cg.jnp.asarray(np.pad(_blend_weights(hw), ((0, 0), (0, 128 - hw))))
+        wy = cg.jnp.asarray(np.pad(_blend_weights(hh), ((0, 0), (0, 128 - hh))))
+        return pl.pallas_call(
+            ft.partial(cg._apply_kernel, sp, hh, hw, group),
+            grid=(8, NCY, NCX // group),
+            in_specs=[
+                pl.BlockSpec((None, None, group, 3, sp, 128), lambda i, j, k: (i, j, k, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, group, 4, 2, 128), lambda i, j, k: (i, j, k, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 128), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 128), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, None, group, 3, sp, 128), lambda i, j, k: (i, j, k, 0, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, NCY, NCX, 3, sp, 128), jnp.float32),
+        )(lab_cells, lut4, wx, wy)
+
+    cells_out = [kernel_only(p) for p in pre]
+
+    @jax.jit
+    def decellize_only(c):
+        return cg._decellize(c, H, W)
+
+    measure("gather: cellize+colorspace", cellize_only, inputs)
+    measure("gather: XLA prefix (cell+hist+lut)", prefix, inputs)
+    measure("gather: pallas kernel", kernel_only, pre, batch=8)
+    measure("gather: decellize", decellize_only, cells_out)
+
+
+@exp("gather2")
+def run_gather2():
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import retinex_tpu.ops.clahe_gather as cg
+
+    inputs = make_inputs()
+    hh, hw = HH, HW
+    n_chunks = -(-256 // hw)
+
+    @jax.jit
+    def prefix(x):
+        xq = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
+        lab = jnp.clip(jnp.round(rgb_to_lab_u8(xq)), 0, 255).astype(jnp.uint8)
+        labp = lab.transpose(0, 3, 1, 2)
+        hist = cg._hist_planar(labp[:, 0], TILES, TILES)
+        luts = _luts_from_hist(hist, 2.0, AREA).astype(jnp.float32)
+        luts16 = luts.reshape(8, TILES, TILES, 256)
+        t0y, t1y = _neighbor_index_tables(TILES)
+        t0x, t1x = _neighbor_index_tables(TILES)
+        lut4 = jnp.stack(
+            [luts16[:, t0y][:, :, t0x], luts16[:, t0y][:, :, t1x],
+             luts16[:, t1y][:, :, t0x], luts16[:, t1y][:, :, t1x]], axis=2)
+        pad = n_chunks * hw - 256
+        lut4 = jnp.pad(lut4, ((0, 0),) * 4 + ((0, pad),))
+        lane_luts = lut4.reshape(8, NCY, 4, NCX, n_chunks, hw).transpose(0, 1, 2, 4, 3, 5)
+        return labp.reshape(8, 3, NCY, HH, NCX, HW), lane_luts
+
+    @jax.jit
+    def fwd_planar_only(x):
+        xq = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
+        lab = jnp.clip(jnp.round(rgb_to_lab_u8(xq)), 0, 255).astype(jnp.uint8)
+        return lab.transpose(0, 3, 1, 2)
+
+    pre = [prefix(x) for x in inputs]
+    wx = _blend_weights(hw)
+    wy = _blend_weights(hh)
+    xa_tab = jnp.asarray(wx[np.arange(NCX) % 2])
+    ya_tab = jnp.asarray(np.ascontiguousarray(wy.T))
+
+    @jax.jit
+    def kernel_only(args):
+        labp6, lane_luts = args
+        return pl.pallas_call(
+            ft.partial(cg._apply_kernel, hh, hw, n_chunks),
+            grid=(8, NCY),
+            in_specs=[
+                pl.BlockSpec((None, 3, None, hh, NCX, hw), lambda i, j: (i, 0, j, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, 4, n_chunks, NCX, hw), lambda i, j: (i, j, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NCX, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((hh, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, 3, None, hh, NCX, hw), lambda i, j: (i, 0, j, 0, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 3, NCY, hh, NCX, hw), jnp.float32),
+        )(labp6, lane_luts, xa_tab, ya_tab)
+
+    cells_out = [kernel_only(p) for p in pre]
+
+    @jax.jit
+    def post(c):
+        return c.reshape(8, 3, H, W).transpose(0, 2, 3, 1)
+
+    measure("g2: fwd colorspace->planar", fwd_planar_only, inputs)
+    measure("g2: XLA prefix total", prefix, inputs)
+    measure("g2: pallas kernel", kernel_only, pre, batch=8)
+    measure("g2: final transpose", post, cells_out)
+
+    # diff distribution vs current on TPU
+    want = np.asarray(jax.jit(clahe_lab_rgb)(inputs[0]))
+    from retinex_tpu.ops.clahe_gather import clahe_lab_rgb_gather
+
+    got = np.asarray(clahe_lab_rgb_gather(inputs[0]))
+    d = np.abs(want - got) * 255.0
+    print("diff histogram:", [(t, int((d > t).sum())) for t in (0.5, 1.5, 2.5, 4.5, 6.5)])
+    ys, xs = np.nonzero(d.max(axis=(0, 3)) > 2.5)[0][:5], np.nonzero(d.max(axis=(0, 3)) > 2.5)[1][:5]
+    for y, x in zip(ys, xs):
+        b_i = int(np.argmax(d[:, y, x].max(axis=-1)))
+        print(f"  big diff at b={b_i} y={y} x={x}: want {want[b_i, y, x] * 255}, got {got[b_i, y, x] * 255}")
+
+
+@exp("hist2")
+def run_hist2():
+    import retinex_tpu.ops.clahe_gather as cg
+
+    rng = np.random.default_rng(0)
+    u8 = [jnp.asarray(rng.integers(0, 256, (8, H, W), dtype=np.uint8)) for _ in range(4)]
+    i32 = [v.astype(jnp.int32) for v in u8]
+
+    @jax.jit
+    def hist_u8(v):
+        return cg._hist_planar(v, TILES, TILES)
+
+    @jax.jit
+    def hist_i32_in(v):
+        return cg._hist_planar(v, TILES, TILES)
+
+    @jax.jit
+    def hist_int8(l_u8):
+        b = l_u8.shape[0]
+        th, tw = H // TILES, W // TILES
+        v = l_u8.astype(jnp.int32)
+        tiles = (
+            v.reshape(b, TILES, th, TILES, tw).transpose(0, 1, 3, 2, 4).reshape(b, TILES, TILES, th * tw)
+        )
+        iota = jnp.arange(16, dtype=jnp.int32)
+        hi_oh = ((tiles >> 4)[..., None] == iota).astype(jnp.int8)
+        lo_oh = ((tiles & 15)[..., None] == iota).astype(jnp.int8)
+        hist16 = jnp.einsum("btxpi,btxpj->btxij", hi_oh, lo_oh, preferred_element_type=jnp.int32)
+        return hist16.reshape(b, TILES, TILES, 256)
+
+    @jax.jit
+    def hist_transpose_first(l_u8):
+        b = l_u8.shape[0]
+        th, tw = H // TILES, W // TILES
+        tiles = (
+            l_u8.reshape(b, TILES, th, TILES, tw).transpose(0, 1, 3, 2, 4).reshape(b, TILES, TILES, th * tw)
+        ).astype(jnp.int32)
+        iota = jnp.arange(16, dtype=jnp.int32)
+        hi_oh = ((tiles >> 4)[..., None] == iota).astype(jnp.bfloat16)
+        lo_oh = ((tiles & 15)[..., None] == iota).astype(jnp.bfloat16)
+        hist16 = jnp.einsum("btxpi,btxpj->btxij", hi_oh, lo_oh, preferred_element_type=jnp.float32)
+        return hist16.reshape(b, TILES, TILES, 256).astype(jnp.int32)
+
+    a = hist_u8(u8[0]); b_ = hist_int8(u8[0])
+    print("int8 == bf16:", bool(jnp.all(a == b_)))
+    measure("hist_planar(u8 in)", hist_u8, u8)
+    measure("hist_planar(i32 in)", hist_i32_in, i32)
+    measure("hist int8 MXU", hist_int8, u8)
+    measure("hist transpose-first", hist_transpose_first, u8)
+
+
+@exp("prefix2")
+def run_prefix2():
+    import retinex_tpu.ops.clahe_gather as cg
+
+    rng = np.random.default_rng(0)
+    u8 = [
+        jnp.asarray(rng.integers(0, 256, (8, H, W, 3), dtype=np.uint8)) for _ in range(4)
+    ]
+    hh, hw = HH, HW
+    n_chunks = 3
+
+    @jax.jit
+    def fwd_nhwc_then_transpose(x_u8):
+        xq = x_u8.astype(jnp.float32) / 255.0
+        lab = jnp.clip(jnp.round(rgb_to_lab_u8(xq)), 0, 255).astype(jnp.uint8)
+        return lab.transpose(0, 3, 1, 2)
+
+    @jax.jit
+    def fwd_transpose_then_planar(x_u8):
+        xp = x_u8.transpose(0, 3, 1, 2).astype(jnp.float32) / 255.0
+        from retinex_tpu.ops.colorspace import _RGB2XYZ, _XN, _ZN, _lab_f, srgb_to_linear
+
+        r = srgb_to_linear(xp[:, 0])
+        g = srgb_to_linear(xp[:, 1])
+        b_ = srgb_to_linear(xp[:, 2])
+        m = _RGB2XYZ
+        X = (m[0, 0] * r + m[0, 1] * g + m[0, 2] * b_) / _XN
+        Y = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b_
+        Z = (m[2, 0] * r + m[2, 1] * g + m[2, 2] * b_) / _ZN
+        fx, fy, fz = _lab_f(X), _lab_f(Y), _lab_f(Z)
+        L8 = (116.0 * fy - 16.0) * (255.0 / 100.0)
+        a8 = 500.0 * (fx - fy) + 128.0
+        b8 = 200.0 * (fy - fz) + 128.0
+        lab = jnp.stack([L8, a8, b8], axis=1)
+        return jnp.clip(jnp.round(lab), 0, 255).astype(jnp.uint8)
+
+    labp = [fwd_nhwc_then_transpose(x) for x in u8]
+    a = fwd_transpose_then_planar(u8[0])
+    print("planar-first == nhwc-first:", bool(jnp.all(a == labp[0])))
+
+    @jax.jit
+    def tables_f32(lp):
+        hist = cg._hist_planar(lp[:, 0], TILES, TILES)
+        luts = _luts_from_hist(hist, 2.0, AREA).astype(jnp.float32)
+        luts16 = luts.reshape(8, TILES, TILES, 256)
+        t0y, t1y = _neighbor_index_tables(TILES)
+        t0x, t1x = _neighbor_index_tables(TILES)
+        lut4 = jnp.stack(
+            [luts16[:, t0y][:, :, t0x], luts16[:, t0y][:, :, t1x],
+             luts16[:, t1y][:, :, t0x], luts16[:, t1y][:, :, t1x]], axis=2)
+        lut4 = jnp.pad(lut4, ((0, 0),) * 4 + ((0, n_chunks * hw - 256),))
+        return lut4.reshape(8, NCY, 4, NCX, n_chunks, hw).transpose(0, 1, 2, 4, 3, 5)
+
+    @jax.jit
+    def hist_only(lp):
+        return cg._hist_planar(lp[:, 0], TILES, TILES)
+
+    hists = [hist_only(lp) for lp in labp]
+
+    @jax.jit
+    def tables_from_hist(hist):
+        luts = _luts_from_hist(hist, 2.0, AREA).astype(jnp.float32)
+        luts16 = luts.reshape(8, TILES, TILES, 256)
+        t0y, t1y = _neighbor_index_tables(TILES)
+        t0x, t1x = _neighbor_index_tables(TILES)
+        lut4 = jnp.stack(
+            [luts16[:, t0y][:, :, t0x], luts16[:, t0y][:, :, t1x],
+             luts16[:, t1y][:, :, t0x], luts16[:, t1y][:, :, t1x]], axis=2)
+        lut4 = jnp.pad(lut4, ((0, 0),) * 4 + ((0, n_chunks * hw - 256),))
+        return lut4.reshape(8, NCY, 4, NCX, n_chunks, hw).transpose(0, 1, 2, 4, 3, 5)
+
+    measure("fwd nhwc->lab->transpose", fwd_nhwc_then_transpose, u8)
+    measure("fwd transpose->planar lab", fwd_transpose_then_planar, u8)
+    measure("hist only", hist_only, labp)
+    measure("tables from hist", tables_from_hist, hists)
+    measure("hist+tables", tables_f32, labp)
+
+
+@exp("batchscale")
+def run_batchscale():
+    from retinex_tpu.ops.clahe_gather import clahe_rgb_u8_gather
+
+    rng = np.random.default_rng(0)
+    for batch in (8, 16, 32):
+        u8 = [
+            jnp.asarray(rng.integers(0, 256, (batch, H, W, 3), dtype=np.uint8))
+            for _ in range(3)
+        ]
+        measure(f"gather_u8 batch={batch}", clahe_rgb_u8_gather, u8, batch=batch)
+
+
+@exp("decomp")
+def run_decomp():
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import retinex_tpu.ops.clahe_gather as cg
+
+    rng = np.random.default_rng(0)
+    u8 = [
+        jnp.asarray(rng.integers(0, 256, (8, H, W, 3), dtype=np.uint8)) for _ in range(4)
+    ]
+    hh, hw = HH, HW
+    n_chunks = 3
+    b = 8
+
+    def fwd(x_u8):
+        rgb6 = x_u8.transpose(0, 3, 1, 2).reshape(b, 3, NCY, hh, NCX, hw)
+        dg_vals = jnp.pad(
+            jnp.asarray(
+                np.vectorize(lambda v: v)(np.arange(256)).astype(np.float32)
+            ) / 255.0,
+            (0, n_chunks * hw - 256),
+        )
+        from retinex_tpu.ops.colorspace import srgb_to_linear
+
+        dg_tab = srgb_to_linear(dg_vals).reshape(n_chunks, hw)
+        return pl.pallas_call(
+            ft.partial(cg._fwd_kernel, hh, hw, n_chunks),
+            grid=(b, NCY),
+            in_specs=[
+                pl.BlockSpec((None, 3, None, hh, NCX, hw), lambda i, j: (i, 0, j, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_chunks, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, 3, None, hh, NCX, hw), lambda i, j: (i, 0, j, 0, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 3, NCY, hh, NCX, hw), jnp.uint8),
+        )(rgb6, dg_tab)
+
+    def tables(lab6):
+        hist = cg._hist_planar(lab6[:, 0].reshape(b, H, W), TILES, TILES)
+        luts = _luts_from_hist(hist, 2.0, AREA).astype(jnp.float32)
+        luts16 = luts.reshape(b, TILES, TILES, 256)
+        t0y, t1y = _neighbor_index_tables(TILES)
+        t0x, t1x = _neighbor_index_tables(TILES)
+        lut4 = jnp.stack(
+            [luts16[:, t0y][:, :, t0x], luts16[:, t0y][:, :, t1x],
+             luts16[:, t1y][:, :, t0x], luts16[:, t1y][:, :, t1x]], axis=2)
+        lut4 = jnp.pad(lut4, ((0, 0),) * 4 + ((0, n_chunks * hw - 256),))
+        return lut4.reshape(b, NCY, 4, NCX, n_chunks, hw).transpose(0, 1, 2, 4, 3, 5).astype(jnp.uint8)
+
+    wx = _blend_weights(hw)
+    wy = _blend_weights(hh)
+    xa_tab = jnp.asarray(wx[np.arange(NCX) % 2])
+    ya_tab = jnp.asarray(np.ascontiguousarray(wy.T))
+
+    def apply_k(lab6, lane_luts):
+        return pl.pallas_call(
+            ft.partial(cg._apply_kernel, hh, hw, n_chunks),
+            grid=(b, NCY),
+            in_specs=[
+                pl.BlockSpec((None, 3, None, hh, NCX, hw), lambda i, j: (i, 0, j, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, 4, n_chunks, NCX, hw), lambda i, j: (i, j, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NCX, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((hh, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, 3, None, hh, NCX, hw), lambda i, j: (i, 0, j, 0, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 3, NCY, hh, NCX, hw), jnp.uint8),
+        )(lab6, lane_luts, xa_tab, ya_tab)
+
+    def post(rgbp):
+        return rgbp.reshape(b, 3, H, W).transpose(0, 2, 3, 1)
+
+    measure("A fwd only", jax.jit(fwd), u8)
+    measure("B fwd+tables", jax.jit(lambda x: tables(fwd(x))), u8)
+    lab6s = [jax.jit(fwd)(x) for x in u8]
+    lts = [jax.jit(tables)(l) for l in lab6s]
+    measure("C apply only", jax.jit(lambda a: apply_k(*a)), list(zip(lab6s, lts)), batch=8)
+    measure("D apply+post", jax.jit(lambda a: post(apply_k(*a))), list(zip(lab6s, lts)), batch=8)
+    measure(
+        "E full",
+        jax.jit(lambda x: post(apply_k(fwd(x), tables(fwd(x))))),
+        u8,
+    )
+
+
+@exp("conv")
+def run_conv():
+    from jax import lax
+
+    from retinex_tpu.ops.conv_pallas import conv2d_pallas
+
+    rng = np.random.default_rng(0)
+    # Packed full-res net shape: batch 2, 544x960, 128ch, bf16
+    for (bsz, hh, ww, cin, cout, kh) in [
+        (2, 544, 960, 128, 128, 3),
+        (2, 544, 960, 128, 128, 2),
+        (2, 272, 480, 256, 256, 3),
+    ]:
+        x = [
+            jnp.asarray(rng.standard_normal((bsz, hh, ww, cin)), jnp.bfloat16)
+            for _ in range(3)
+        ]
+        k = jnp.asarray(rng.standard_normal((kh, kh, cin, cout)) * 0.05, jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+        pad = ((kh // 2, kh - 1 - kh // 2),) * 2
+
+        @jax.jit
+        def xla_conv(v, k=k, b=b, pad=pad):
+            out = lax.conv_general_dilated(
+                v, k, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            return jnp.maximum(out + b.astype(out.dtype), 0)
+
+        fn = functools.partial(conv2d_pallas, kernel=k, bias=b, relu=True)
+        got = np.asarray(fn(x[0]), np.float32)
+        want = np.asarray(xla_conv(x[0]), np.float32)
+        scale = np.abs(want).max()
+        print(f"shape {(bsz,hh,ww,cin,cout,kh)}: rel err {np.abs(got-want).max()/scale:.2e}")
+        gflop = 2 * bsz * hh * ww * kh * kh * cin * cout / 1e9
+        dt1 = measure(f"xla conv {kh}x{kh} {cin}->{cout}", xla_conv, x, batch=bsz)
+        dt2 = measure(f"pallas conv {kh}x{kh} {cin}->{cout}", fn, x, batch=bsz)
+        print(f"  {gflop:.0f} GFLOP: xla {gflop/dt1/1e3:.1f} TF/s, pallas {gflop/dt2/1e3:.1f} TF/s")
+
+
+@exp("net")
+def run_net():
+    from retinex_tpu.models.packed_inference import PackedRetinex
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+
+    batch = 2
+    dtype = jnp.bfloat16
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+    @jax.jit
+    def fwd(x):
+        return model.apply(variables, x, train=False)[0]
+
+    packed = PackedRetinex(model, variables)
+
+    @jax.jit
+    def fwd_packed(x):
+        return packed(x)[0]
+
+    rng = np.random.default_rng(0)
+    inputs = [
+        jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32), dtype=dtype)
+        for _ in range(3)
+    ]
+    want = np.asarray(fwd(inputs[0]), np.float32)
+    got = np.asarray(fwd_packed(inputs[0]), np.float32)
+    print(f"packed vs standard: max abs diff {np.abs(want - got).max():.4f} (bf16)")
+    measure("net standard 1080p", fwd, inputs, batch=batch)
+    measure("net packed 1080p", fwd_packed, inputs, batch=batch)
+
+
+@exp("pallas_old")
+def run_pallas_old():
+    from retinex_tpu.ops.clahe_pallas import clahe_lab_rgb_pallas
+
+    inputs = make_inputs()
+    measure("pipeline_pallas_r1", clahe_lab_rgb_pallas, inputs)
+
+
+def main():
+    names = sys.argv[1:] or ["base"]
+    if names == ["all"]:
+        names = list(EXPERIMENTS)
+    print(f"platform: {jax.devices()[0].platform}  experiments: {names}", flush=True)
+    for n in names:
+        print(f"--- {n} ---", flush=True)
+        EXPERIMENTS[n]()
+
+
+if __name__ == "__main__":
+    main()
