@@ -69,6 +69,15 @@ def _build_apply_fn(config: Config, require_checkpoint: bool):
 def run(config: Config):
     if config.mode == "train":
         os.makedirs(config.save_dir, exist_ok=True)
+        from retinex_tpu.parallel.distributed import initialize_distributed
+
+        if initialize_distributed(config):
+            import jax
+
+            print(
+                f"Multi-host: process {jax.process_index()}/{jax.process_count()}"
+                f" via {config.coordinator}"
+            )
         from retinex_tpu.train.trainer import train
 
         for flag, label in [

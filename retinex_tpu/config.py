@@ -70,6 +70,12 @@ class Config:
     use_perceptual_loss: bool = True
     vgg_weights: str | None = None  # .npz exported from torchvision (models/vgg.py)
     n_devices: int | None = None  # data-parallel mesh size (default: all)
+    # Multi-host data parallelism (parallel/distributed.py): run the same
+    # train command on every host with these three flags set; single-host
+    # behavior is unchanged when --coordinator is absent.
+    coordinator: str | None = None  # jax.distributed coordinator host:port
+    num_processes: int | None = None
+    process_id: int | None = None
     profile_dir: str | None = None  # jax.profiler trace output
     classical_mode: str | None = None  # ssr | msr | msrcr classical enhance
     # Pallas gather-based CLAHE pipeline (ops/clahe_gather.py) — the fastest

@@ -206,22 +206,35 @@ class TrainLoader:
         drop_last: bool = False,
         num_workers: int = 4,
         seed: int = 0,
+        shard: tuple[int, int] = (0, 1),
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = num_workers
+        # Multi-host: (process_index, process_count). Every process shuffles
+        # with the SAME seed, takes a disjoint stride slice, and truncates to
+        # a common length so all processes run identical step counts (a
+        # mismatched step count deadlocks the gradient collectives).
+        self.shard = shard
         self._rng = np.random.default_rng(seed)
 
+    def _shard_len(self) -> int:
+        _, count = self.shard
+        return len(self.dataset) // count if count > 1 else len(self.dataset)
+
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        index, count = self.shard
+        if count > 1:
+            order = order[index::count][: self._shard_len()]
         return _PrefetchIterator(
             self.dataset, list(order), self.batch_size, self.drop_last, self.num_workers
         )
@@ -258,8 +271,10 @@ def get_train_loader(
     shuffle: bool = True,
     drop_last: bool = False,
     seed: int = 0,
+    shard: tuple[int, int] = (0, 1),
 ) -> TrainLoader:
-    """Mirror of get_train_dataloader (reference: datasets/dataset.py:261-300)."""
+    """Mirror of get_train_dataloader (reference: datasets/dataset.py:261-300).
+    `shard=(process_index, process_count)` for multi-host training."""
     return TrainLoader(
         LowLightDataset(image_dir, image_size),
         batch_size=batch_size,
@@ -267,4 +282,5 @@ def get_train_loader(
         drop_last=drop_last,
         num_workers=num_workers,
         seed=seed,
+        shard=shard,
     )

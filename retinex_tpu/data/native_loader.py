@@ -94,3 +94,41 @@ def decode_letterbox_batch(
 
         warnings.warn(f"native loader: {n - ok}/{n} images failed to decode (gray-filled)")
     return out
+
+
+def decode_letterbox_batch_canvas(
+    paths: list[str],
+    new_shape: int,
+    out_h: int,
+    out_w: int,
+    auto_pad: bool = True,
+    scaleup: bool = False,
+    num_threads: int = 8,
+) -> np.ndarray:
+    """Decode + letterbox into a non-square [N, out_h, out_w, 3] canvas.
+
+    Every path must plan-letterbox (target `new_shape`, given auto_pad/scaleup)
+    to exactly (out_h, out_w) — the batched enhance driver buckets files by
+    that canvas before calling (infer/enhance.py)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader not available (build native/ first)")
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    ok = lib.rtx_decode_letterbox_batch(
+        arr,
+        n,
+        new_shape,
+        1 if auto_pad else 0,
+        1 if scaleup else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_h,
+        out_w,
+        num_threads,
+    )
+    if ok < n:
+        import warnings
+
+        warnings.warn(f"native loader: {n - ok}/{n} images failed to decode (gray-filled)")
+    return out

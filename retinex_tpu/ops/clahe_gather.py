@@ -234,7 +234,31 @@ def clahe_rgb_u8_gather(
     squeeze = x_u8.ndim == 3
     if squeeze:
         x_u8 = x_u8[None]
-    b, h, w, _ = x_u8.shape
+    xp = x_u8.transpose(0, 3, 1, 2)
+    outp = clahe_rgb_u8_planar_gather(
+        xp, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y, interpret=interpret
+    )
+    out = outp.transpose(0, 2, 3, 1)
+    return out[0] if squeeze else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
+)
+def clahe_rgb_u8_planar_gather(
+    xp_u8: jnp.ndarray,
+    clip_limit: float = 2.0,
+    tiles_x: int = 8,
+    tiles_y: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Planar uint8 pipeline: [B, 3, H, W] -> [B, 3, H, W].
+
+    The fastest entry: a planar producer (e.g. the native decoder's planar
+    mode) skips both NHWC<->planar relayouts — the H/W splits into
+    (ncy, hh, ncx, hw) blocks below are free row-major reshapes.
+    """
+    b, _, h, w = xp_u8.shape
     if not gather_supported(h, w, tiles_y, tiles_x):
         raise ValueError(f"shape {(h, w)} unsupported by the gather kernel")
     ncy, ncx = 2 * tiles_y, 2 * tiles_x
@@ -242,8 +266,7 @@ def clahe_rgb_u8_gather(
     n_chunks = -(-HIST_SIZE // hw)
     area = (2 * hh) * (2 * hw)
 
-    # ---- XLA: planar u8 relayout; Pallas: forward colorspace ----
-    rgb6 = x_u8.transpose(0, 3, 1, 2).reshape(b, 3, ncy, hh, ncx, hw)
+    rgb6 = xp_u8.reshape(b, 3, ncy, hh, ncx, hw)
     dg_vals = srgb_to_linear(jnp.arange(HIST_SIZE, dtype=jnp.float32) / 255.0)
     dg_tab = jnp.pad(dg_vals, (0, n_chunks * hw - HIST_SIZE)).reshape(n_chunks, hw)
 
@@ -325,8 +348,7 @@ def clahe_rgb_u8_gather(
         interpret=interpret,
     )(labp6, lane_luts, xa_tab, ya_tab)
 
-    out = rgbp.reshape(b, 3, h, w).transpose(0, 2, 3, 1)
-    return out[0] if squeeze else out
+    return rgbp.reshape(b, 3, h, w)
 
 
 @functools.partial(

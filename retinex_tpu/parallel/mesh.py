@@ -41,10 +41,16 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     """Place a host batch onto the mesh, split along the leading axis.
 
+    Single-process: `batch` is the global batch, device_put splits it.
+    Multi-process (jax.distributed): `batch` is this process's LOCAL shard of
+    the global batch; the global array is assembled across hosts.
+
     The global batch size must be divisible by the mesh size (the trainer pads
     or drops remainders before calling this).
     """
     sharding = shard_batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
     return jax.device_put(batch, sharding)
 
 

@@ -72,6 +72,12 @@ def train(config: Config) -> dict:
     """Run training; returns {'best_loss', 'epochs_run', 'save_dir'}."""
     mesh = create_mesh(config.n_devices)
     n_dev = mesh.devices.size
+    # Multi-host: this process loads/feeds only its 1/process_count share of
+    # every global batch (parallel/distributed.py); padding aligns to the
+    # LOCAL device count so the assembled global array is mesh-divisible.
+    proc_idx, proc_count = jax.process_index(), jax.process_count()
+    local_batch = max(config.batch_size // proc_count, 1)
+    pad_multiple = max(n_dev // proc_count, 1)
     print(f"Training on {n_dev} device(s): {mesh}")
 
     model = MultiScaleUPRetinex(
@@ -90,27 +96,23 @@ def train(config: Config) -> dict:
     # every reduction). With shuffle=True a different random remainder is
     # dropped each epoch, so all data is still seen across epochs. Datasets
     # smaller than one batch keep the padding path (nothing to drop).
-    loader = get_train_loader(
-        image_dir=config.train_dir,
-        batch_size=config.batch_size,
-        image_size=config.image_size,
-        num_workers=config.num_workers,
-        shuffle=True,
-        drop_last=True,
-        seed=config.seed,
-    )
-    if len(loader) == 0:
-        loader = get_train_loader(
+    def make_loader(drop_last: bool):
+        return get_train_loader(
             image_dir=config.train_dir,
-            batch_size=config.batch_size,
+            batch_size=local_batch,
             image_size=config.image_size,
             num_workers=config.num_workers,
             shuffle=True,
-            drop_last=False,
+            drop_last=drop_last,
             seed=config.seed,
+            shard=(proc_idx, proc_count),
         )
+
+    loader = make_loader(drop_last=True)
+    if len(loader) == 0:
+        loader = make_loader(drop_last=False)
     steps_per_epoch = max(len(loader), 1)
-    dropped = len(loader.dataset) - steps_per_epoch * config.batch_size
+    dropped = len(loader.dataset) - steps_per_epoch * local_batch * proc_count
     print(
         f"{len(loader.dataset)} images, {steps_per_epoch} batches/epoch"
         + (f" ({dropped} re-shuffled into later epochs)" if dropped > 0 else "")
@@ -137,9 +139,23 @@ def train(config: Config) -> dict:
 
     train_step = make_train_step(model, criterion, mesh=mesh)
 
-    log_dir = os.path.join(config.save_dir, "logs", datetime.now().strftime("%Y%m%d_%H%M%S"))
-    logger = MetricLogger(log_dir)
-    print(f"Logs: {log_dir}")
+    if proc_idx == 0:
+        log_dir = os.path.join(config.save_dir, "logs", datetime.now().strftime("%Y%m%d_%H%M%S"))
+        logger = MetricLogger(log_dir)
+        print(f"Logs: {log_dir}")
+    else:
+
+        class _NullLogger:
+            def add_scalar(self, *a, **k):
+                pass
+
+            def add_scalars(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        logger = _NullLogger()
 
     loss_history: dict[str, list[float]] = {k: [] for k in LOG_KEYS}
     aug_rng = jax.random.PRNGKey(config.seed + 1)
@@ -165,7 +181,7 @@ def train(config: Config) -> dict:
             disable=not config.progress_bar,
         )
         for batch_idx, host_batch in bar:
-            host_batch, _ = pad_to_multiple(host_batch, n_dev)
+            host_batch, _ = pad_to_multiple(host_batch, pad_multiple)
             # uint8 over the wire; augment_batch normalizes on device.
             batch = shard_batch(host_batch, mesh)
             aug_rng, step_rng = jax.random.split(aug_rng)
@@ -197,7 +213,10 @@ def train(config: Config) -> dict:
             + " ".join(f"{k}={v:.4f}" for k, v in avg_losses.items())
         )
 
-        if epoch % max(config.save_freq, 1) == 0:
+        # Side-effect outputs (visualizations, checkpoints, curves) are written
+        # by process 0 only in multi-host runs; every process computes the same
+        # replicated losses, so the early-stop decision stays in lockstep.
+        if proc_idx == 0 and epoch % max(config.save_freq, 1) == 0:
             _save_sample_visualizations(model, state, loader, mesh, epoch, config.save_dir)
 
         current = avg_losses["total"]
@@ -211,7 +230,8 @@ def train(config: Config) -> dict:
             is_best = False
             print(f"  patience: {patience_counter}/{config.patience}")
 
-        save_checkpoint(state, config.save_dir, epoch, best_loss, is_best)
+        if proc_idx == 0:
+            save_checkpoint(state, config.save_dir, epoch, best_loss, is_best)
         epochs_run = epoch + 1
 
         if patience_counter >= config.patience:
@@ -222,8 +242,9 @@ def train(config: Config) -> dict:
         jax.profiler.stop_trace()
 
     logger.close()
-    save_loss_curves(loss_history, config.save_dir)
-    save_results_to_csv(loss_history, config.save_dir)
+    if proc_idx == 0:
+        save_loss_curves(loss_history, config.save_dir)
+        save_results_to_csv(loss_history, config.save_dir)
     print(f"Training completed. Best loss: {best_loss:.6f}. Models in {config.save_dir}")
     return {"best_loss": best_loss, "epochs_run": epochs_run, "save_dir": config.save_dir}
 

@@ -14,6 +14,21 @@ import argparse
 
 import numpy as np
 
+CONV_INDICES = (0, 2, 5, 7, 10, 12, 14, 16)
+
+
+def export_features(features, out_path: str) -> int:
+    """Export the conv weights of a torch `vgg19.features`-indexed Sequential
+    (through pool3) to .npz in the format retinex_tpu.models.vgg.load_npz
+    reads. Returns the number of arrays written."""
+    arrays = {}
+    for idx in CONV_INDICES:
+        layer = features[idx]
+        arrays[f"{idx}.weight"] = layer.weight.detach().numpy()
+        arrays[f"{idx}.bias"] = layer.bias.detach().numpy()
+    np.savez(out_path, **arrays)
+    return len(arrays)
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -23,13 +38,8 @@ def main():
     import torchvision
 
     vgg = torchvision.models.vgg19(weights="IMAGENET1K_V1").features.eval()
-    arrays = {}
-    for idx in (0, 2, 5, 7, 10, 12, 14, 16):
-        layer = vgg[idx]
-        arrays[f"{idx}.weight"] = layer.weight.detach().numpy()
-        arrays[f"{idx}.bias"] = layer.bias.detach().numpy()
-    np.savez(args.out, **arrays)
-    print(f"wrote {args.out} ({len(arrays)} arrays)")
+    n = export_features(vgg, args.out)
+    print(f"wrote {args.out} ({n} arrays)")
 
 
 if __name__ == "__main__":

@@ -281,7 +281,7 @@ def run_pipeline():
     got = pipeline_packed(inputs[0])
     diff = float(jnp.max(jnp.abs(want - got)))
     print(f"pipeline_packed vs current max diff: {diff * 255.0:.2f}/255")
-    measure("pipeline_current", jax.jit(clahe_lab_rgb), inputs)
+    measure("pipeline_current(XLA)", jax.jit(lambda v: clahe_lab_rgb(v, use_pallas=False)), inputs)
     measure("pipeline_packed", pipeline_packed, inputs)
 
 
@@ -293,13 +293,17 @@ def run_gather():
     inputs_u8 = [
         jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8) for x in inputs
     ]
-    want = np.asarray(jax.jit(clahe_lab_rgb)(inputs[0]))
+    want = np.asarray(jax.jit(lambda v: clahe_lab_rgb(v, use_pallas=False))(inputs[0]))
     got = np.asarray(clahe_lab_rgb_gather(inputs[0]))
     d = np.abs(want - got) * 255.0
     print(f"gather vs current: max {d.max():.2f} levels, >0.5 frac {(d > 0.5).mean():.2e}")
-    measure("pipeline_current", jax.jit(clahe_lab_rgb), inputs)
+    from retinex_tpu.ops.clahe_gather import clahe_rgb_u8_planar_gather
+
+    inputs_planar = [jnp.transpose(v, (0, 3, 1, 2)) for v in inputs_u8]
+    measure("pipeline_current(XLA)", jax.jit(lambda v: clahe_lab_rgb(v, use_pallas=False)), inputs)
     measure("pipeline_gather_f32", clahe_lab_rgb_gather, inputs)
     measure("pipeline_gather_u8", clahe_rgb_u8_gather, inputs_u8)
+    measure("pipeline_gather_u8_planar", clahe_rgb_u8_planar_gather, inputs_planar)
 
 
 @exp("gather_stages")
@@ -446,7 +450,7 @@ def run_gather2():
     measure("g2: final transpose", post, cells_out)
 
     # diff distribution vs current on TPU
-    want = np.asarray(jax.jit(clahe_lab_rgb)(inputs[0]))
+    want = np.asarray(jax.jit(lambda v: clahe_lab_rgb(v, use_pallas=False))(inputs[0]))
     from retinex_tpu.ops.clahe_gather import clahe_lab_rgb_gather
 
     got = np.asarray(clahe_lab_rgb_gather(inputs[0]))
