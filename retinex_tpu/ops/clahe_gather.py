@@ -45,8 +45,6 @@ from retinex_tpu.ops.clahe import HIST_SIZE
 from retinex_tpu.ops.clahe_fast import _blend_weights, _luts_from_hist, _neighbor_index_tables
 from retinex_tpu.ops.colorspace import srgb_to_linear
 
-MAX_CHUNKS = 4  # fall back to the XLA path when ceil(256/hw) exceeds this
-
 # D65 constants matching ops/colorspace.py (python tuples: jnp-array constants
 # can't be captured by Pallas kernels).
 _RGB2XYZ_T = (
@@ -76,28 +74,27 @@ def _linear_to_srgb(x):
 def gather_supported(h: int, w: int, tiles_y: int, tiles_x: int) -> bool:
     """Shapes the Pallas gather kernel handles (others use the XLA path):
     cell-divisible, cell width within one 128-lane vreg (Mosaic dynamic_gather
-    addresses a single vreg), and few enough LUT chunks to stay cheap."""
+    addresses a single vreg)."""
     if h % (2 * tiles_y) or w % (2 * tiles_x):
         return False
-    hw = w // (2 * tiles_x)
-    return hw <= 128 and -(-HIST_SIZE // hw) <= MAX_CHUNKS
+    return w // (2 * tiles_x) <= 128
 
 
-def _apply_kernel(hh, hw, n_chunks, lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
+def _apply_kernel(hh, hw, lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
     """One program = one half-tile row band of one image.
 
     The band's W axis is pre-split into (ncx, hw) so the minor two dims map a
     vreg sublane to one x-cell and its lanes to the pixel offset inside that
     cell. Mosaic's dynamic_gather only addresses a single vreg along the lane
-    axis, so each LUT table row is one <=128-entry chunk of its cell's LUT —
+    axis, so each LUT table row is one 128-entry half of its cell's LUT —
     exactly the per-sublane gather the hardware supports.
 
     lab_ref:  [3, hh, ncx, hw] uint8 Lab
-    luts_ref: [4, n_chunks, ncx, hw] f32 — LUT entry k*hw+e of x-cell c at
+    luts_ref: [4, 2, ncx, 128] uint8 — LUT entry k*128+e of x-cell c at
               [l, k, c, e] for the 4 bilinear neighbours
     xa_ref:   [ncx, hw] f32 — xa blend weight (x-cell parity baked in)
     ya_ref:   [hh, 2] f32 — ya by (y offset, cell-y parity)
-    out_ref:  [3, hh, ncx, hw] f32 RGB in [0,1]
+    out_ref:  [3, hh, ncx, hw] uint8 RGB
     """
     cy = pl.program_id(1)
     ncx = lab_ref.shape[2]
@@ -111,19 +108,26 @@ def _apply_kernel(hh, hw, n_chunks, lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
     ya2 = jnp.where(cy % 2 == 0, ya_ref[:, 0:1], ya_ref[:, 1:2])  # [hh, 1]
     ya = jnp.broadcast_to(ya2[:, :, None], (hh, ncx, hw)).reshape(shape)
 
-    chunk = v // hw
+    # 2x128-entry LUT chunks: the pixel block physically occupies 128-lane
+    # vregs anyway, so padding it to 128 logical lanes once lets every lookup
+    # be 2 gathers + 1 select instead of n_chunks of each.
+    v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
+    hi_side = v128 >= 128
+    idx128 = jnp.where(hi_side, v128 - 128, v128)
+    shape128 = (rows, 128)
 
     def lookup(l):
-        val = jnp.zeros(shape, jnp.float32)
-        for k in range(n_chunks):
-            # Tables ship as uint8 (LUT values <= 255): cast the tiny
-            # [ncx, hw] row before broadcasting, not per pixel.
-            t_small = luts_ref[l, k].astype(jnp.int32).astype(jnp.float32)
-            t = jnp.broadcast_to(t_small[None], (hh, ncx, hw)).reshape(shape)
-            idx = jnp.clip(v - k * hw, 0, hw - 1)
-            g = jnp.take_along_axis(t, idx, axis=1)
-            val = jnp.where(chunk == k, g, val)
-        return val
+        lo_t = jnp.broadcast_to(
+            luts_ref[l, 0].astype(jnp.int32).astype(jnp.float32)[None],
+            (hh, ncx, 128),
+        ).reshape(shape128)
+        hi_t = jnp.broadcast_to(
+            luts_ref[l, 1].astype(jnp.int32).astype(jnp.float32)[None],
+            (hh, ncx, 128),
+        ).reshape(shape128)
+        g_lo = jnp.take_along_axis(lo_t, idx128, axis=1)
+        g_hi = jnp.take_along_axis(hi_t, idx128, axis=1)
+        return jnp.where(hi_side, g_hi, g_lo)[:, :hw]
 
     l00 = lookup(0)
     l01 = lookup(1)
@@ -152,30 +156,34 @@ def _apply_kernel(hh, hw, n_chunks, lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
         out_ref[c] = ch.astype(jnp.uint8).reshape(hh, ncx, hw)
 
 
-def _fwd_kernel(hh, hw, n_chunks, rgb_ref, dg_ref, out_ref):
+def _fwd_kernel(hh, hw, rgb_ref, dg_ref, out_ref):
     """Forward colorspace: planar u8 sRGB -> 8-bit-scale Lab u8, one row band.
 
-    rgb_ref: [3, hh, ncx, hw] uint8; dg_ref: [n_chunks, hw] f32 (sRGB de-gamma
-    LUT: dg[k, e] = srgb_to_linear((k*hw+e)/255) — gathers reproduce the XLA
-    path's de-gamma bit-for-bit since inputs are u8); out_ref like rgb_ref.
-    The only divergence from ops/colorspace.rgb_to_lab_u8 is Mosaic's
-    pow(x, 1/3) standing in for cbrt (no cbrt primitive): +-1 L level on a
-    ~1e-5 fraction of pixels.
+    rgb_ref: [3, hh, ncx, hw] uint8; dg_ref: [2, 128] f32 (sRGB de-gamma LUT
+    in two 128-entry halves: dg[k, e] = srgb_to_linear((k*128+e)/255) —
+    gathers reproduce the XLA path's de-gamma bit-for-bit since inputs are
+    u8); out_ref like rgb_ref. The only divergence from
+    ops/colorspace.rgb_to_lab_u8 is Mosaic's pow(x, 1/3) standing in for cbrt
+    (no cbrt primitive): +-1 L level on a ~1e-5 fraction of pixels.
     """
     ncx = rgb_ref.shape[2]
     rows = hh * ncx
     shape = (rows, hw)
+    shape128 = (rows, 128)
+    lo_t = jnp.broadcast_to(dg_ref[0][None], shape128)
+    hi_t = jnp.broadcast_to(dg_ref[1][None], shape128)
 
     def degamma(c):
         v = rgb_ref[c].astype(jnp.int32).reshape(shape)
-        chunk = v // hw
-        val = jnp.zeros(shape, jnp.float32)
-        for k in range(n_chunks):
-            t = jnp.broadcast_to(dg_ref[k][None], shape)
-            idx = jnp.clip(v - k * hw, 0, hw - 1)
-            g = jnp.take_along_axis(t, idx, axis=1)
-            val = jnp.where(chunk == k, g, val)
-        return val
+        v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
+        hi_side = v128 >= 128
+        idx = jnp.where(hi_side, v128 - 128, v128)
+        g = jnp.where(
+            hi_side,
+            jnp.take_along_axis(hi_t, idx, axis=1),
+            jnp.take_along_axis(lo_t, idx, axis=1),
+        )
+        return g[:, :hw]
 
     r, g, b_ = degamma(0), degamma(1), degamma(2)
     m = _RGB2XYZ_T
@@ -263,15 +271,17 @@ def clahe_rgb_u8_planar_gather(
         raise ValueError(f"shape {(h, w)} unsupported by the gather kernel")
     ncy, ncx = 2 * tiles_y, 2 * tiles_x
     hh, hw = h // ncy, w // ncx
-    n_chunks = -(-HIST_SIZE // hw)
     area = (2 * hh) * (2 * hw)
 
     rgb6 = xp_u8.reshape(b, 3, ncy, hh, ncx, hw)
     dg_vals = srgb_to_linear(jnp.arange(HIST_SIZE, dtype=jnp.float32) / 255.0)
-    dg_tab = jnp.pad(dg_vals, (0, n_chunks * hw - HIST_SIZE)).reshape(n_chunks, hw)
+    dg_tab = dg_vals.reshape(2, 128)
 
+    # Lab intermediate is CHANNEL-LEADING [3, b, ...] so the histogram stage
+    # reads the L plane as one contiguous slice (a [b, 3, ...] layout makes it
+    # a strided gather + relayout, measured ~1 ms/batch slower).
     lab6 = pl.pallas_call(
-        functools.partial(_fwd_kernel, hh, hw, n_chunks),
+        functools.partial(_fwd_kernel, hh, hw),
         grid=(b, ncy),
         in_specs=[
             pl.BlockSpec(
@@ -279,18 +289,18 @@ def clahe_rgb_u8_planar_gather(
                 lambda i, j: (i, 0, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((n_chunks, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (None, 3, None, hh, ncx, hw),
-            lambda i, j: (i, 0, j, 0, 0, 0),
+            (3, None, None, hh, ncx, hw),
+            lambda i, j: (0, i, j, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, 3, ncy, hh, ncx, hw), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((3, b, ncy, hh, ncx, hw), jnp.uint8),
         interpret=interpret,
     )(rgb6, dg_tab)
 
-    hist = _hist_planar(lab6[:, 0].reshape(b, h, w), tiles_y, tiles_x)
+    hist = _hist_planar(lab6[0].reshape(b, h, w), tiles_y, tiles_x)
     luts = _luts_from_hist(hist, clip_limit, area).astype(jnp.float32)
     luts16 = luts.reshape(b, tiles_y, tiles_x, HIST_SIZE)
 
@@ -305,12 +315,11 @@ def clahe_rgb_u8_planar_gather(
         ],
         axis=2,
     )  # [b, ncy, 4, ncx, 256]
-    # Chunked LUT tables: entry k*hw+e of x-cell c at [.., l, k, c, e].
-    # uint8: values <= 255, and f32 tables would be ~100 MB/batch of HBM reads.
-    pad = n_chunks * hw - HIST_SIZE
-    lut4 = jnp.pad(lut4, ((0, 0),) * 4 + ((0, pad),))
+    # LUT tables in two 128-entry halves: entry k*128+e of x-cell c at
+    # [.., l, k, c, e]. uint8: values <= 255, and f32 tables would be
+    # ~100 MB/batch of HBM reads.
     lane_luts = (
-        lut4.reshape(b, ncy, 4, ncx, n_chunks, hw)
+        lut4.reshape(b, ncy, 4, ncx, 2, 128)
         .transpose(0, 1, 2, 4, 3, 5)
         .astype(jnp.uint8)
     )
@@ -321,18 +330,17 @@ def clahe_rgb_u8_planar_gather(
     ya_tab = jnp.asarray(np.ascontiguousarray(wy.T))  # [hh, 2]
 
     # ---- Pallas: LUT apply + inverse colorspace over row bands ----
-    labp6 = lab6
     rgbp = pl.pallas_call(
-        functools.partial(_apply_kernel, hh, hw, n_chunks),
+        functools.partial(_apply_kernel, hh, hw),
         grid=(b, ncy),
         in_specs=[
             pl.BlockSpec(
-                (None, 3, None, hh, ncx, hw),
-                lambda i, j: (i, 0, j, 0, 0, 0),
+                (3, None, None, hh, ncx, hw),
+                lambda i, j: (0, i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, None, 4, n_chunks, ncx, hw),
+                (None, None, 4, 2, ncx, 128),
                 lambda i, j: (i, j, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -346,7 +354,7 @@ def clahe_rgb_u8_planar_gather(
         ),
         out_shape=jax.ShapeDtypeStruct((b, 3, ncy, hh, ncx, hw), jnp.uint8),
         interpret=interpret,
-    )(labp6, lane_luts, xa_tab, ya_tab)
+    )(lab6, lane_luts, xa_tab, ya_tab)
 
     return rgbp.reshape(b, 3, h, w)
 

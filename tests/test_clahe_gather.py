@@ -17,7 +17,7 @@ from retinex_tpu.ops.clahe_gather import (
     gather_supported,
 )
 
-SHAPE = (1, 128, 1024, 3)  # hh=8, hw=64 -> 4 LUT chunks, smallest valid case
+SHAPE = (1, 128, 1024, 3)  # hh=8, hw=64: small valid case
 
 
 @pytest.fixture(scope="module")
@@ -30,7 +30,7 @@ def test_gather_supported_predicate():
     assert gather_supported(1088, 1920, 8, 8)  # the 1080p bench shape
     assert gather_supported(128, 1024, 8, 8)
     assert not gather_supported(100, 1024, 8, 8)  # H not cell-divisible
-    assert not gather_supported(128, 192, 8, 8)  # hw=12 -> 22 chunks
+    assert gather_supported(128, 192, 8, 8)  # hw=12: fits one vreg
     assert not gather_supported(4096, 4096, 1, 1)  # hw=2048 > one vreg
 
 
