@@ -14,12 +14,12 @@ Architecture (v2 — no cellize: XLA relayout glue measured 6 ms/batch in v1):
   clip/redistribute/CDF LUT build; neighbour-LUT lane tables.
 - Pallas kernel, grid (B, ncy): block = one half-tile row band in natural
   layout [3, hh, W] (W on lanes). Within a band the y-neighbour tiles and the
-  ya parity are fixed. Each x-cell's 4 neighbour LUTs are laid out along the
-  W lane axis in `ceil(256/hw)` chunks (entry e of cell c at lane c*hw+e), so
-  a pixel at lane l looks up LUT[v] with a same-shape lane gather at index
-  `(l//hw)*hw + (v % hw)` in chunk `v // hw`. 4 LUTs x 3 chunks = 12 gathers
-  + selects per pixel, then the bilinear blend and the inverse Lab->RGB
-  colorspace, all in one pass over the band.
+  ya parity are fixed. The 4 neighbour LUTs of each x-cell are byte-packed
+  into one int32 word per entry (they are always indexed by the same pixel
+  value), laid out as two 128-entry lane halves per cell; a pixel looks up
+  its packed word with 2 same-shape lane gathers + 1 half select, unpacks the
+  4 bytes, then runs the bilinear blend and the inverse Lab->RGB colorspace —
+  all in one pass over the band.
 
 Bit-compatible with ops/clahe_fast.clahe_u8_fast up to FMA formation (rare
 +-1 at exact .5 blend ties) and Mosaic's pow lowering in the inverse
@@ -90,8 +90,10 @@ def _apply_kernel(hh, hw, lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
     exactly the per-sublane gather the hardware supports.
 
     lab_ref:  [3, hh, ncx, hw] uint8 Lab
-    luts_ref: [4, 2, ncx, 128] uint8 — LUT entry k*128+e of x-cell c at
-              [l, k, c, e] for the 4 bilinear neighbours
+    luts_ref: [2, ncx, 128] int32 — the 4 neighbour LUTs byte-packed into one
+              word per entry: word = l00 | l01<<8 | l10<<16 | l11<<24, entry
+              k*128+e of x-cell c at [k, c, e]. One packed lookup (2 gathers +
+              1 select) replaces 4 independent lookups (8 gathers + 4 selects).
     xa_ref:   [ncx, hw] f32 — xa blend weight (x-cell parity baked in)
     ya_ref:   [hh, 2] f32 — ya by (y offset, cell-y parity)
     out_ref:  [3, hh, ncx, hw] uint8 RGB
@@ -109,30 +111,22 @@ def _apply_kernel(hh, hw, lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
     ya = jnp.broadcast_to(ya2[:, :, None], (hh, ncx, hw)).reshape(shape)
 
     # 2x128-entry LUT chunks: the pixel block physically occupies 128-lane
-    # vregs anyway, so padding it to 128 logical lanes once lets every lookup
-    # be 2 gathers + 1 select instead of n_chunks of each.
+    # vregs anyway, so padding it to 128 logical lanes once lets the packed
+    # lookup be 2 gathers + 1 select instead of n_chunks of each.
     v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
     hi_side = v128 >= 128
     idx128 = jnp.where(hi_side, v128 - 128, v128)
     shape128 = (rows, 128)
 
-    def lookup(l):
-        lo_t = jnp.broadcast_to(
-            luts_ref[l, 0].astype(jnp.int32).astype(jnp.float32)[None],
-            (hh, ncx, 128),
-        ).reshape(shape128)
-        hi_t = jnp.broadcast_to(
-            luts_ref[l, 1].astype(jnp.int32).astype(jnp.float32)[None],
-            (hh, ncx, 128),
-        ).reshape(shape128)
-        g_lo = jnp.take_along_axis(lo_t, idx128, axis=1)
-        g_hi = jnp.take_along_axis(hi_t, idx128, axis=1)
-        return jnp.where(hi_side, g_hi, g_lo)[:, :hw]
-
-    l00 = lookup(0)
-    l01 = lookup(1)
-    l10 = lookup(2)
-    l11 = lookup(3)
+    lo_t = jnp.broadcast_to(luts_ref[0][None], (hh, ncx, 128)).reshape(shape128)
+    hi_t = jnp.broadcast_to(luts_ref[1][None], (hh, ncx, 128)).reshape(shape128)
+    g_lo = jnp.take_along_axis(lo_t, idx128, axis=1)
+    g_hi = jnp.take_along_axis(hi_t, idx128, axis=1)
+    word = jnp.where(hi_side, g_hi, g_lo)[:, :hw]
+    l00 = (word & 255).astype(jnp.float32)
+    l01 = ((word >> 8) & 255).astype(jnp.float32)
+    l10 = ((word >> 16) & 255).astype(jnp.float32)
+    l11 = ((word >> 24) & 255).astype(jnp.float32)
 
     # Same multiply arrangement as clahe_u8_fast so .5-tie rounding matches.
     top = l00 * (1.0 - xa) + l01 * xa
@@ -314,15 +308,13 @@ def clahe_rgb_u8_planar_gather(
             luts16[:, t1y][:, :, t1x],
         ],
         axis=2,
-    )  # [b, ncy, 4, ncx, 256]
-    # LUT tables in two 128-entry halves: entry k*128+e of x-cell c at
-    # [.., l, k, c, e]. uint8: values <= 255, and f32 tables would be
-    # ~100 MB/batch of HBM reads.
-    lane_luts = (
-        lut4.reshape(b, ncy, 4, ncx, 2, 128)
-        .transpose(0, 1, 2, 4, 3, 5)
-        .astype(jnp.uint8)
-    )
+    ).astype(jnp.int32)  # [b, ncy, 4, ncx, 256], values <= 255
+    # Byte-pack the 4 neighbour LUTs into one int32 word per entry (they are
+    # always looked up at the SAME pixel value), then split into two 128-entry
+    # halves: entry k*128+e of x-cell c at [.., k, c, e]. One packed gather
+    # replaces four u8 gathers; same HBM bytes as four u8 tables.
+    packed = lut4[:, :, 0] | (lut4[:, :, 1] << 8) | (lut4[:, :, 2] << 16) | (lut4[:, :, 3] << 24)
+    lane_luts = packed.reshape(b, ncy, ncx, 2, 128).transpose(0, 1, 3, 2, 4)
 
     wx = _blend_weights(hw)  # [2, hw] f32
     wy = _blend_weights(hh)  # [2, hh] f32
@@ -340,8 +332,8 @@ def clahe_rgb_u8_planar_gather(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, None, 4, 2, ncx, 128),
-                lambda i, j: (i, j, 0, 0, 0, 0),
+                (None, None, 2, ncx, 128),
+                lambda i, j: (i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((ncx, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),

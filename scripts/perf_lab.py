@@ -606,54 +606,47 @@ def run_batchscale():
 
 @exp("decomp")
 def run_decomp():
+    """Stage split of the CURRENT clahe_gather pipeline (packed-LUT apply)."""
     import functools as ft
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     import retinex_tpu.ops.clahe_gather as cg
+    from retinex_tpu.ops.colorspace import srgb_to_linear
 
     rng = np.random.default_rng(0)
     u8 = [
         jnp.asarray(rng.integers(0, 256, (8, H, W, 3), dtype=np.uint8)) for _ in range(4)
     ]
     hh, hw = HH, HW
-    n_chunks = 3
     b = 8
 
     def fwd(x_u8):
         rgb6 = x_u8.transpose(0, 3, 1, 2).reshape(b, 3, NCY, hh, NCX, hw)
-        dg_vals = jnp.pad(
-            jnp.asarray(
-                np.vectorize(lambda v: v)(np.arange(256)).astype(np.float32)
-            ) / 255.0,
-            (0, n_chunks * hw - 256),
-        )
-        from retinex_tpu.ops.colorspace import srgb_to_linear
-
-        dg_tab = srgb_to_linear(dg_vals).reshape(n_chunks, hw)
+        dg_tab = srgb_to_linear(jnp.arange(256, dtype=jnp.float32) / 255.0).reshape(2, 128)
         return pl.pallas_call(
-            ft.partial(cg._fwd_kernel, hh, hw, n_chunks),
+            ft.partial(cg._fwd_kernel, hh, hw),
             grid=(b, NCY),
             in_specs=[
                 pl.BlockSpec((None, 3, None, hh, NCX, hw), lambda i, j: (i, 0, j, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_chunks, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((None, 3, None, hh, NCX, hw), lambda i, j: (i, 0, j, 0, 0, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, 3, NCY, hh, NCX, hw), jnp.uint8),
+            out_specs=pl.BlockSpec((3, None, None, hh, NCX, hw), lambda i, j: (0, i, j, 0, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, b, NCY, hh, NCX, hw), jnp.uint8),
         )(rgb6, dg_tab)
 
     def tables(lab6):
-        hist = cg._hist_planar(lab6[:, 0].reshape(b, H, W), TILES, TILES)
+        hist = cg._hist_planar(lab6[0].reshape(b, H, W), TILES, TILES)
         luts = _luts_from_hist(hist, 2.0, AREA).astype(jnp.float32)
         luts16 = luts.reshape(b, TILES, TILES, 256)
         t0y, t1y = _neighbor_index_tables(TILES)
         t0x, t1x = _neighbor_index_tables(TILES)
         lut4 = jnp.stack(
             [luts16[:, t0y][:, :, t0x], luts16[:, t0y][:, :, t1x],
-             luts16[:, t1y][:, :, t0x], luts16[:, t1y][:, :, t1x]], axis=2)
-        lut4 = jnp.pad(lut4, ((0, 0),) * 4 + ((0, n_chunks * hw - 256),))
-        return lut4.reshape(b, NCY, 4, NCX, n_chunks, hw).transpose(0, 1, 2, 4, 3, 5).astype(jnp.uint8)
+             luts16[:, t1y][:, :, t0x], luts16[:, t1y][:, :, t1x]], axis=2).astype(jnp.int32)
+        packed = lut4[:, :, 0] | (lut4[:, :, 1] << 8) | (lut4[:, :, 2] << 16) | (lut4[:, :, 3] << 24)
+        return packed.reshape(b, NCY, NCX, 2, 128).transpose(0, 1, 3, 2, 4)
 
     wx = _blend_weights(hw)
     wy = _blend_weights(hh)
@@ -662,11 +655,11 @@ def run_decomp():
 
     def apply_k(lab6, lane_luts):
         return pl.pallas_call(
-            ft.partial(cg._apply_kernel, hh, hw, n_chunks),
+            ft.partial(cg._apply_kernel, hh, hw),
             grid=(b, NCY),
             in_specs=[
-                pl.BlockSpec((None, 3, None, hh, NCX, hw), lambda i, j: (i, 0, j, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, None, 4, n_chunks, NCX, hw), lambda i, j: (i, j, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, None, None, hh, NCX, hw), lambda i, j: (0, i, j, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, 2, NCX, 128), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((NCX, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((hh, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             ],
@@ -677,10 +670,16 @@ def run_decomp():
     def post(rgbp):
         return rgbp.reshape(b, 3, H, W).transpose(0, 2, 3, 1)
 
+    @jax.jit
+    def hist_only(lab6):
+        return cg._hist_planar(lab6[0].reshape(b, H, W), TILES, TILES)
+
     measure("A fwd only", jax.jit(fwd), u8)
     measure("B fwd+tables", jax.jit(lambda x: tables(fwd(x))), u8)
     lab6s = [jax.jit(fwd)(x) for x in u8]
     lts = [jax.jit(tables)(l) for l in lab6s]
+    measure("B1 hist only", hist_only, lab6s)
+    measure("B2 tables only", jax.jit(tables), lab6s)
     measure("C apply only", jax.jit(lambda a: apply_k(*a)), list(zip(lab6s, lts)), batch=8)
     measure("D apply+post", jax.jit(lambda a: post(apply_k(*a))), list(zip(lab6s, lts)), batch=8)
     measure(
@@ -759,6 +758,78 @@ def run_net():
     print(f"packed vs standard: max abs diff {np.abs(want - got).max():.4f} (bf16)")
     measure("net standard 1080p", fwd, inputs, batch=batch)
     measure("net packed 1080p", fwd_packed, inputs, batch=batch)
+
+
+@exp("netstages")
+def run_netstages():
+    """Bisect the PACKED model: where do the 120.6 ms/batch(2) go?"""
+    from retinex_tpu.models.packed_inference import PackedRetinex
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+    from retinex_tpu.ops.s2d import s2d
+
+    batch = 2
+    dtype = jnp.bfloat16
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    pk = PackedRetinex(model, variables)
+
+    rng = np.random.default_rng(0)
+    inputs = [
+        jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32), dtype=dtype)
+        for _ in range(3)
+    ]
+    xps = [s2d(x).astype(dtype) for x in inputs]
+    from retinex_tpu.models.packed_inference import _conv_auto
+
+    @jax.jit
+    def ie_fullres(xp):
+        """input conv + enc1 + dec1 + residual head (packed full-res IE parts),
+        with a fake d2 so the middle is excluded."""
+        x1p = _conv_auto(xp, pk.k_input, bias=pk.b_input, relu=True)
+        x2 = pk._enc1(x1p)
+        d1p = pk._dec1(x2 * 0.5) + x1p  # d2 stand-in with the right shape
+        r = _conv_auto(d1p, pk.k_rescv, bias=pk.b_rescv, relu=True)
+        return _conv_auto(r, pk.k_resout, bias=pk.b_resout)
+
+    @jax.jit
+    def ie_middle(xp):
+        x1p = _conv_auto(xp, pk.k_input, bias=pk.b_input, relu=True)
+        x2 = pk._enc1(x1p)
+        return model.apply(variables, x2, False, method=lambda m, a, t: m.ie_net.middle(a, t))
+
+    @jax.jit
+    def scale1_conv(xp):
+        return _conv_auto(xp, pk.k_s1conv, bias=pk.b_s1conv, relu=True)
+
+    f1s = [scale1_conv(xp) for xp in xps]
+
+    @jax.jit
+    def fam_only(f1p):
+        return pk._fam_packed(f1p)
+
+    @jax.jit
+    def scale23(x):
+        h, w = x.shape[1], x.shape[2]
+        x2s = resize_scale_local(x, 0.5)
+        x3s = resize_scale_local(x, 0.25)
+        f2 = model.apply(variables, x2s, method=lambda m, a: m.scale2(a))
+        f3 = model.apply(variables, x3s, method=lambda m, a: m.scale3(a))
+        from retinex_tpu.ops.resize import resize_bilinear
+
+        return s2d(resize_bilinear(f2, h, w)), s2d(resize_bilinear(f3, h, w))
+
+    from retinex_tpu.ops.resize import resize_scale as resize_scale_local
+
+    @jax.jit
+    def full(x):
+        return pk(x)[0]
+
+    measure("packed full model", full, inputs, batch=batch)
+    measure("ie full-res stages", ie_fullres, xps, batch=batch)
+    measure("ie enc1+middle", ie_middle, xps, batch=batch)
+    measure("scale1 conv", scale1_conv, xps, batch=batch)
+    measure("scale1 FAM", fam_only, f1s, batch=batch)
+    measure("scale2/3 towers+resizes", scale23, inputs, batch=batch)
 
 
 @exp("pallas_old")

@@ -75,6 +75,10 @@ def test_two_process_cpu_training_step(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
     env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # The worker imports retinex_tpu by path (running a /tmp script puts /tmp,
+    # not the cwd, on sys.path) — prepend the repo root explicitly.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), coordinator],
