@@ -24,8 +24,10 @@ import numpy as np
 from jax import lax
 
 from retinex_tpu.ops.conv_pallas import conv2d_pallas, conv_pallas_supported
+from retinex_tpu.ops.fused_blocks import dec1_chain, fam_dual_conv3, fam_dual_supported
 from retinex_tpu.ops.resize import resize_bilinear, resize_scale
 from retinex_tpu.ops.s2d import (
+    conv_im2col,
     conv_s2d,
     d2s,
     maxpool3x3_s1_s2d,
@@ -33,6 +35,7 @@ from retinex_tpu.ops.s2d import (
     pack_kernel_s2,
     pack_pointwise,
     s2d,
+    s2d_upsample,
 )
 
 _BN_EPS = 1e-5
@@ -46,6 +49,20 @@ def _conv_auto(x, packed_kernel, bias=None, relu=False):
     convs wins back more than that (120.6 vs 132.2 ms/batch, BENCH_NOTES.md)."""
     import os
 
+    if (
+        x.shape[-1] <= 16
+        and packed_kernel.shape[0] > 1
+        and jax.devices()[0].platform != "cpu"
+        and not os.environ.get("RETINEX_NO_FUSED")
+    ):
+        # Narrow-Cin (the 12-channel packed input convs): XLA's conv emitter
+        # measures 3.74 ms/batch(2) vs 3.16 for the im2col GEMM (perf_lab
+        # `narrowconv`).
+        b = None
+        if bias is not None:
+            reps = packed_kernel.shape[-1] // bias.shape[0]
+            b = jnp.tile(bias, reps).astype(jnp.float32)
+        return conv_im2col(x, packed_kernel, b, relu=relu)
     if (
         os.environ.get("RETINEX_PALLAS_CONV")
         and jax.devices()[0].platform != "cpu"
@@ -130,6 +147,17 @@ class PackedRetinex:
 
         self.k_rescv = pack_kernel_s1(ie["residual_conv"]["kernel"])
         self.b_rescv = ie["residual_conv"]["bias"]
+
+        # dec1 chain with the BN affines folded into the packed conv weights
+        # (conv -> *scale + bias == conv with scaled kernel and shifted bias),
+        # consumed by the fused ops/fused_blocks.dec1_chain kernel.
+        s_dec1 = self.s["ie_net"]["dec1"]
+        sc1, bi1 = _bn_affine(dec1["conv1"]["BatchNorm_0"], s_dec1["conv1"]["BatchNorm_0"])
+        sc2, bi2 = _bn_affine(dec1["conv2"]["BatchNorm_0"], s_dec1["conv2"]["BatchNorm_0"])
+        self.dec1_k_c1f = self.k_dec1_c1 * _tile4(sc1)[None, None, None, :]
+        self.dec1_b_c1f = _tile4(self.b_dec1_c1 * sc1 + bi1)
+        self.dec1_k_c2f = self.k_dec1_c2 * _tile4(sc2)[None, None, None, :]
+        self.dec1_b_c2f = _tile4(self.b_dec1_c2 * sc2 + bi2)
         self.k_resout = pack_pointwise(ie["residual_out"]["kernel"])
         self.b_resout = ie["residual_out"]["bias"]
 
@@ -152,9 +180,32 @@ class PackedRetinex:
             "branch4_conv1", "branch4_conv2", "fusion", "sa_conv",
         )}
         self.fam_ca = fam  # ca_reduce / ca_expand used unpacked (1x1 on GAP)
+        # FAM fusion 1x1 split into per-branch row blocks: fusion(cat4(b1..b4))
+        # == sum_i b_i @ W_i, which skips the quadrant interleave relayout of
+        # the 512-channel concat entirely (the kernel rows carry the permute).
+        kfu = fam["fusion"]["kernel"]  # [1,1,128,32], input rows (branch, 32)
+        self.fam_fusion_parts = [
+            pack_pointwise(kfu[:, :, 32 * i : 32 * (i + 1), :]) for i in range(4)
+        ]
+        # Fused branch3/branch4 chain (ops/fused_blocks.fam_dual_conv3): the
+        # two first convs stacked along Cout, biases pre-tiled per quadrant.
+        self.fam_dual_k1 = jnp.concatenate(
+            [self.fam_k["branch3_conv1"], self.fam_k["branch4_conv1"]], axis=-1
+        )
+        self.fam_dual_b1 = jnp.concatenate(
+            [_tile4(self.fam_b["branch3_conv1"]), _tile4(self.fam_b["branch4_conv1"])]
+        )
 
         self.k_fusion = pack_pointwise(p["fusion"]["kernel"])
         self.b_fusion = p["fusion"]["bias"]
+        # Fusion commuted with the upsamples: fusion(cat(f1, up(f2), up(f3)))
+        # = W1@f1 + up(W2@f2) + up(W3@f3) (1x1 conv and bilinear resize are
+        # both linear), so the scale-2/3 slices run at their low resolution
+        # and only the 32-channel results are phase-upsampled (s2d_upsample).
+        kf = p["fusion"]["kernel"]
+        self.k_fusion_f1 = pack_pointwise(kf[:, :, 0:32, :])
+        self.w_fusion_f2 = kf[:, :, 32:64, :]
+        self.w_fusion_f3 = kf[:, :, 64:96, :]
         self.k_output = pack_pointwise(p["output_layer"]["kernel"])
         self.b_output = p["output_layer"]["bias"]
 
@@ -202,16 +253,33 @@ class PackedRetinex:
     def _fam_packed(self, xp, c=32):
         """EnhancedFAM on packed [*, 4c] input."""
         k, bset = self.fam_k, self.fam_b
+        import os
+
         b1 = _conv_auto(xp, k["branch1"], bias=bset["branch1"])
         b2 = maxpool3x3_s1_s2d(xp)
         b2 = _conv_auto(b2, k["branch2_conv"], bias=bset["branch2_conv"])
-        b3 = _conv_auto(xp, k["branch3_conv1"], bias=bset["branch3_conv1"], relu=True)
-        b3 = _conv_auto(b3, k["branch3_conv2"], bias=bset["branch3_conv2"])
-        b4 = _conv_auto(xp, k["branch4_conv1"], bias=bset["branch4_conv1"], relu=True)
-        b4 = _conv_auto(b4, k["branch4_conv2"], bias=bset["branch4_conv2"])
+        if (
+            jax.devices()[0].platform != "cpu"
+            and fam_dual_supported(xp.shape)
+            and not os.environ.get("RETINEX_NO_FUSED")
+        ):
+            dual = fam_dual_conv3(
+                xp, self.fam_dual_k1, self.fam_dual_b1,
+                k["branch3_conv2"], _tile4(bset["branch3_conv2"]),
+                k["branch4_conv2"], _tile4(bset["branch4_conv2"]),
+            )
+            b3, b4 = dual[..., : 4 * c], dual[..., 4 * c :]
+        else:
+            b3 = _conv_auto(xp, k["branch3_conv1"], bias=bset["branch3_conv1"], relu=True)
+            b3 = _conv_auto(b3, k["branch3_conv2"], bias=bset["branch3_conv2"])
+            b4 = _conv_auto(xp, k["branch4_conv1"], bias=bset["branch4_conv1"], relu=True)
+            b4 = _conv_auto(b4, k["branch4_conv2"], bias=bset["branch4_conv2"])
 
-        cat = _interleave_packed([b1, b2, b3, b4], c)
-        out = _conv_auto(cat, k["fusion"], bias=bset["fusion"], relu=True)
+        kf = self.fam_fusion_parts
+        out = jax.nn.relu(
+            _conv(b1, kf[0]) + _conv(b2, kf[1]) + _conv(b3, kf[2]) + _conv(b4, kf[3])
+            + _tile4(bset["fusion"]).astype(b1.dtype)
+        )
 
         # Channel attention: true per-channel GAP = mean over packed spatial
         # AND quadrants.
@@ -242,11 +310,28 @@ class PackedRetinex:
         xp = s2d(x).astype(model.dtype)  # compute dtype like the Flax modules
 
         # IENet full-res head/tail packed, middle via the Flax modules.
+        import os
+
+        use_fused = (
+            jax.devices()[0].platform != "cpu"
+            and fam_dual_supported((*xp.shape[:3], 128))
+            and not os.environ.get("RETINEX_NO_FUSED")
+        )
+
         x1p = _conv_auto(xp, self.k_input, bias=self.b_input, relu=True)
         x2 = self._enc1(x1p)
         d2 = model.apply(variables, x2, False, method=lambda m, a, t: m.ie_net.middle(a, t))
-        d1p = self._dec1(d2) + x1p
-        r = _conv_auto(d1p, self.k_rescv, bias=self.b_rescv, relu=True)
+        if use_fused:
+            r = dec1_chain(
+                d2, x1p,
+                self.k_dec1_up, _tile4(self.b_dec1_up),
+                self.dec1_k_c1f, self.dec1_b_c1f,
+                self.dec1_k_c2f, self.dec1_b_c2f,
+                self.k_rescv, _tile4(self.b_rescv),
+            )
+        else:
+            d1p = self._dec1(d2) + x1p
+            r = _conv_auto(d1p, self.k_rescv, bias=self.b_rescv, relu=True)
         res_p = _conv_auto(r, self.k_resout, bias=self.b_resout)  # [*, 4]
         mean_p = xp.reshape(*xp.shape[:-1], 4, 3).mean(axis=-1)  # [*, 4]
         illu = d2s(jax.nn.sigmoid(mean_p + res_p))  # packed 1-channel -> [B,H,W,1]
@@ -262,11 +347,22 @@ class PackedRetinex:
         x3s = resize_scale(x, 0.25)
         f2 = model.apply(variables, x2s, method=lambda m, a: m.scale2(a))
         f3 = model.apply(variables, x3s, method=lambda m, a: m.scale3(a))
-        f2p = s2d(resize_bilinear(f2, h, w))
-        f3p = s2d(resize_bilinear(f3, h, w))
 
-        fused = _interleave_packed([f1p, f2p, f3p], 32)
-        fused = _conv_auto(fused, self.k_fusion, bias=self.b_fusion)
+        if 4 * f2.shape[1] == h and 4 * f2.shape[2] == w and 16 * f3.shape[1] == h:
+            g1 = _conv_auto(f1p, self.k_fusion_f1)
+            g2 = _conv(f2, self.w_fusion_f2)
+            g3 = _conv(f3, self.w_fusion_f3)
+            fused = (
+                g1
+                + s2d_upsample(g2, 4).astype(g1.dtype)
+                + s2d_upsample(g3, 16).astype(g1.dtype)
+                + _tile4(self.b_fusion).astype(g1.dtype)
+            )
+        else:  # shapes that don't refold exactly: the direct (resize) form
+            f2p = s2d(resize_bilinear(f2, h, w))
+            f3p = s2d(resize_bilinear(f3, h, w))
+            fused = _interleave_packed([f1p, f2p, f3p], 32)
+            fused = _conv_auto(fused, self.k_fusion, bias=self.b_fusion)
         e_map = d2s(jax.nn.sigmoid(_conv_auto(fused, self.k_output, bias=self.b_output)))
 
         enhanced = reflectance * e_map + (1.0 - reflectance) * (e_map**2)

@@ -199,15 +199,18 @@ def _fwd_kernel(hh, hw, rgb_ref, dg_ref, out_ref):
 
 
 def _hist_planar(l_u8: jnp.ndarray, tiles_y: int, tiles_x: int) -> jnp.ndarray:
-    """Per-tile histograms from [B, H, W] uint8 (nibble-MXU, ops/clahe_fast math)."""
+    """Per-tile histograms from [B, H, W] uint8 (nibble-MXU, ops/clahe_fast math).
+
+    The tile transpose runs on the uint8 values and the int32 cast happens
+    after: relaying 16 MB of u8 instead of 64 MB of i32 measures 1.74 ->
+    0.40 ms/batch(8) at 1080p (scripts/perf_lab.py hist2)."""
     b, h, w = l_u8.shape
     th, tw = h // tiles_y, w // tiles_x
-    v = l_u8.astype(jnp.int32)
     tiles = (
-        v.reshape(b, tiles_y, th, tiles_x, tw)
+        l_u8.reshape(b, tiles_y, th, tiles_x, tw)
         .transpose(0, 1, 3, 2, 4)
         .reshape(b, tiles_y, tiles_x, th * tw)
-    )
+    ).astype(jnp.int32)
     iota = jnp.arange(16, dtype=jnp.int32)
     hi_oh = ((tiles >> 4)[..., None] == iota).astype(jnp.bfloat16)
     lo_oh = ((tiles & 15)[..., None] == iota).astype(jnp.bfloat16)

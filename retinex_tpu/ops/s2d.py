@@ -21,6 +21,7 @@ the original stride-2 output, already unpacked.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
@@ -118,6 +119,36 @@ def pack_pointwise(kernel: jnp.ndarray) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def conv_im2col(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
+    relu: bool = False,
+) -> jnp.ndarray:
+    """Narrow-Cin convolution as explicit patches + one wide GEMM.
+
+    XLA's conv emitter runs Cin<=16 convolutions (the packed 12-channel input
+    convs) at ~7 TF/s; materializing the kh*kw*Cin patch tensor and hitting the
+    MXU with a single K=kh*kw*Cin GEMM measures ~4x faster despite the extra
+    HBM round trip. Torch-parity 'SAME' padding (pad low-heavy), stride 1.
+    """
+    kh, kw, cin, cout = kernel.shape
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2), (0, 0)))
+    patches = jnp.concatenate(
+        [xp[:, u : u + h, v : v + w, :] for u in range(kh) for v in range(kw)], axis=-1
+    )
+    out = jnp.einsum(
+        "bhwk,ko->bhwo",
+        patches,
+        kernel.reshape(kh * kw * cin, cout).astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        reps = cout // bias.shape[0]
+        out = out + jnp.tile(bias, reps).astype(out.dtype)
+    out = out.astype(x.dtype)
+    return jax.nn.relu(out) if relu else out
+
+
 def conv_s2d(
     x_packed: jnp.ndarray, packed_kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
     quadrant_bias: bool = True,
@@ -142,6 +173,60 @@ def conv_s2d(
         reps = out.shape[-1] // bias.shape[0]
         out = out + jnp.tile(bias, reps).astype(out.dtype)
     return out
+
+
+def _nbr(g: jnp.ndarray, axis: int):
+    """(g[i-1], g[i+1]) along `axis` with edge clamping."""
+    def sl(a, b):
+        return tuple(slice(a, b) if k == axis else slice(None) for k in range(g.ndim))
+
+    gm = jnp.concatenate([g[sl(0, 1)], g[sl(0, -1)]], axis=axis)
+    gp = jnp.concatenate([g[sl(1, None)], g[sl(-1, None)]], axis=axis)
+    return gm, gp
+
+
+def _up_phases(g: jnp.ndarray, axis: int, n: int) -> list[jnp.ndarray]:
+    """The n phase tensors of a half-pixel bilinear n-x upsample along `axis`:
+    out[n*K + p] = phases[p][K]. Weights from src = (p+0.5)/n - 0.5, edges
+    clamped — cv2 INTER_LINEAR / jax.image.resize('linear') semantics."""
+    gm, gp = _nbr(g, axis)
+    outs = []
+    for p in range(n):
+        f = (p + 0.5) / n - 0.5
+        if f < 0:
+            outs.append((-f) * gm + (1.0 + f) * g)
+        else:
+            outs.append((1.0 - f) * g + f * gp)
+    return outs
+
+
+def _interleave_axis(ts: list[jnp.ndarray], axis: int) -> jnp.ndarray:
+    st = jnp.stack(ts, axis=axis + 1)
+    shape = list(ts[0].shape)
+    shape[axis] *= len(ts)
+    return st.reshape(shape)
+
+
+def s2d_upsample(g: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """s2d(resize_bilinear(g, factor*H, factor*W)) without the full-resolution
+    gather resize: phase-decomposed shift-lerps + row/col interleaves.
+
+    The net path upsamples the scale-2/3 tower features 4x/16x back to full
+    resolution (reference: models/model.py:421-431 F.interpolate) and the
+    gather-based resize + s2d measured 13.5 ms/batch(2) at 1080p; the phase
+    form is pure streaming VPU work. factor must be even (packed output).
+    g: [B, h, w, C] -> [B, factor*h/2, factor*w/2, 4C] (quadrant-major).
+    """
+    assert factor % 2 == 0 and factor >= 2
+    half = factor // 2
+    rph = _up_phases(g, 1, factor)
+    rows = [_interleave_axis([rph[2 * i + a] for i in range(half)], 1) for a in (0, 1)]
+    quads = []
+    for a in (0, 1):
+        cph = _up_phases(rows[a], 2, factor)
+        for bq in (0, 1):
+            quads.append(_interleave_axis([cph[2 * j + bq] for j in range(half)], 2))
+    return jnp.concatenate(quads, axis=-1)
 
 
 def maxpool3x3_s1_s2d(x_packed: jnp.ndarray) -> jnp.ndarray:

@@ -688,6 +688,155 @@ def run_decomp():
         u8,
     )
 
+    def full_barriers(x):
+        lab6 = jax.lax.optimization_barrier(fwd(x))
+        lts_ = jax.lax.optimization_barrier(tables(lab6))
+        return post(apply_k(lab6, lts_))
+
+    measure("E2 full+barriers", jax.jit(full_barriers), u8)
+
+
+@exp("fusedblocks")
+def run_fusedblocks():
+    """Standalone fused FAM / dec1 kernels vs their XLA chains."""
+    from retinex_tpu.ops.fused_blocks import dec1_chain, fam_dual_conv3
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    B, Hp, Wp = 2, 544, 960
+    x = [jnp.asarray(rng.standard_normal((B, Hp, Wp, 128)) * 0.2, jnp.bfloat16) for _ in range(3)]
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 128, 256)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
+    k2a = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    b2a = jnp.asarray(rng.standard_normal((128,)), jnp.float32)
+    k2b = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    b2b = jnp.asarray(rng.standard_normal((128,)), jnp.float32)
+
+    def conv(v, k, b, pad=1):
+        out = lax.conv_general_dilated(
+            v, k.astype(v.dtype), (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + b.astype(out.dtype)
+
+    @jax.jit
+    def fam_xla(v):
+        y = jax.nn.relu(conv(v, k1, b1))
+        return jnp.concatenate(
+            [conv(y[..., :128], k2a, b2a), conv(y[..., 128:], k2b, b2b)], axis=-1)
+
+    f_fused = jax.jit(lambda v: fam_dual_conv3(v, k1, b1, k2a, b2a, k2b, b2b))
+    want = np.asarray(fam_xla(x[0]), np.float32)
+    got = np.asarray(f_fused(x[0]), np.float32)
+    print(f"fam fused vs xla: max {np.abs(want-got).max():.4f} scale {np.abs(want).max():.1f}")
+    gf = 2 * B * Hp * Wp * 9 * 128 * 512 / 1e9
+    d1 = measure("fam chains XLA", fam_xla, x, batch=B)
+    d2 = measure("fam chains fused", f_fused, x, batch=B)
+    print(f"  {gf:.0f} GF: xla {gf/d1/1e3:.1f} TF/s, fused {gf/d2/1e3:.1f} TF/s")
+
+    d2in = [jnp.asarray(rng.standard_normal((B, Hp, Wp, 64)) * 0.3, jnp.bfloat16) for _ in range(3)]
+    x1p = jnp.asarray(np.abs(rng.standard_normal((B, Hp, Wp, 128))) * 0.2, jnp.bfloat16)
+    ku = jnp.asarray(rng.standard_normal((1, 1, 64, 128)) * 0.1, jnp.float32)
+    bu = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+    ks = [jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32) for _ in range(3)]
+    bs = [jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32) for _ in range(3)]
+
+    @jax.jit
+    def dec1_xla(args):
+        v, res = args
+        y = conv(v, ku, bu, pad=0)
+        y = jax.nn.relu(conv(y, ks[0], bs[0]))
+        y = jax.nn.relu(conv(y, ks[1], bs[1])) + res
+        return jax.nn.relu(conv(y, ks[2], bs[2]))
+
+    f_dec = jax.jit(
+        lambda args: dec1_chain(args[0], args[1], ku, bu, ks[0], bs[0], ks[1], bs[1], ks[2], bs[2])
+    )
+    pairs = [(v, x1p) for v in d2in]
+    want = np.asarray(dec1_xla(pairs[0]), np.float32)
+    got = np.asarray(f_dec(pairs[0]), np.float32)
+    print(f"dec1 fused vs xla: max {np.abs(want-got).max():.4f} scale {np.abs(want).max():.1f}")
+    measure("dec1 chain XLA", dec1_xla, pairs, batch=B)
+    measure("dec1 chain fused", f_dec, pairs, batch=B)
+
+
+@exp("famparts")
+def run_famparts():
+    """Where do the FAM's non-conv ~23 ms go? Bisect maxpool/fusion/CA/SA."""
+    import os
+
+    from retinex_tpu.models.packed_inference import PackedRetinex, _conv, _conv_auto, _tile4
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+    from retinex_tpu.ops.s2d import maxpool3x3_s1_s2d
+
+    B, Hp, Wp = 2, 544, 960
+    dtype = jnp.bfloat16
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    pk = PackedRetinex(model, variables)
+    rng = np.random.default_rng(0)
+    xps = [jnp.asarray(rng.standard_normal((B, Hp, Wp, 128)) * 0.2, dtype) for _ in range(3)]
+
+    @jax.jit
+    def fam_full(v):
+        return pk._fam_packed(v)
+
+    @jax.jit
+    def b1b2_only(v):
+        b1 = _conv_auto(v, pk.fam_k["branch1"], bias=pk.fam_b["branch1"])
+        b2 = maxpool3x3_s1_s2d(v)
+        b2 = _conv_auto(b2, pk.fam_k["branch2_conv"], bias=pk.fam_b["branch2_conv"])
+        return b1, b2
+
+    @jax.jit
+    def maxpool_only(v):
+        return maxpool3x3_s1_s2d(v)
+
+    # tail: branches -> fusion sum -> CA -> SA -> out
+    fours = [
+        (
+            b1b2_only(v)[0], b1b2_only(v)[1],
+            jnp.roll(v, 1, axis=-1), jnp.roll(v, 2, axis=-1),
+        )
+        for v in xps
+    ]
+
+    @jax.jit
+    def tail_only(args):
+        b1, b2, b3, b4 = args
+        kf = pk.fam_fusion_parts
+        out = jax.nn.relu(
+            _conv(b1, kf[0]) + _conv(b2, kf[1]) + _conv(b3, kf[2]) + _conv(b4, kf[3])
+            + _tile4(pk.fam_b["fusion"]).astype(b1.dtype)
+        )
+        c = 32
+        bsz = out.shape[0]
+        gap = out.mean(axis=(1, 2)).reshape(bsz, 4, c).mean(axis=1)[:, None, None, :]
+        ca = _conv(gap, pk.fam_ca["ca_reduce"]["kernel"], pk.fam_ca["ca_reduce"]["bias"])
+        ca = jax.nn.relu(ca)
+        ca = _conv(ca, pk.fam_ca["ca_expand"]["kernel"], pk.fam_ca["ca_expand"]["bias"])
+        ca = jax.nn.sigmoid(ca)
+        out = out * _tile4(ca).astype(out.dtype)
+        b_, hh, ww, _ = out.shape
+        blocks = out.reshape(b_, hh, ww, 4, c)
+        avg_map = blocks.mean(axis=-1)
+        max_map = blocks.max(axis=-1)
+        sa_in = jnp.stack([avg_map, max_map], axis=-1).reshape(b_, hh, ww, 8)
+        sa = jax.nn.sigmoid(_conv_auto(sa_in, pk.fam_k["sa_conv"], bias=pk.fam_b["sa_conv"]))
+        return (blocks * sa[..., None]).reshape(b_, hh, ww, 4 * c)
+
+    measure("fam full (auto)", fam_full, xps, batch=B)
+    os.environ["RETINEX_NO_FUSED"] = "1"
+
+    @jax.jit
+    def fam_full_xla(v):
+        return pk._fam_packed(v)
+
+    measure("fam full (xla chains)", fam_full_xla, xps, batch=B)
+    del os.environ["RETINEX_NO_FUSED"]
+    measure("fam maxpool only", maxpool_only, xps, batch=B)
+    measure("fam b1+b2", b1b2_only, xps, batch=B)
+    measure("fam tail (fusion+CA+SA)", tail_only, fours, batch=B)
+
 
 @exp("conv")
 def run_conv():
@@ -830,6 +979,73 @@ def run_netstages():
     measure("scale1 conv", scale1_conv, xps, batch=batch)
     measure("scale1 FAM", fam_only, f1s, batch=batch)
     measure("scale2/3 towers+resizes", scale23, inputs, batch=batch)
+
+
+@exp("narrowconv")
+def run_narrowconv():
+    """12->128 packed input convs: XLA conv emitter vs im2col GEMM."""
+    from retinex_tpu.ops.s2d import conv_im2col, conv_s2d
+
+    rng = np.random.default_rng(0)
+    x = [
+        jnp.asarray(rng.standard_normal((2, 544, 960, 12)), jnp.bfloat16)
+        for _ in range(3)
+    ]
+    k = jnp.asarray(rng.standard_normal((3, 3, 12, 128)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((128,)), jnp.float32)
+
+    f_xla = jax.jit(lambda v: jax.nn.relu(conv_s2d(v, k, bias=b, quadrant_bias=False)))
+    f_i2c = jax.jit(lambda v: conv_im2col(v, k, bias=b, relu=True))
+    want = np.asarray(f_xla(x[0]), np.float32)
+    got = np.asarray(f_i2c(x[0]), np.float32)
+    print(f"im2col vs conv: max abs diff {np.abs(want - got).max():.4f} (bf16 scale {np.abs(want).max():.1f})")
+    measure("conv12->128 XLA", f_xla, x, batch=2)
+    measure("conv12->128 im2col", f_i2c, x, batch=2)
+
+
+@exp("scale23")
+def run_scale23():
+    """Break down the 17.6 ms scale2/3 block: towers vs resizes vs s2d."""
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+    from retinex_tpu.ops.resize import resize_bilinear, resize_scale
+    from retinex_tpu.ops.s2d import s2d
+
+    batch = 2
+    dtype = jnp.bfloat16
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    rng = np.random.default_rng(0)
+    inputs = [
+        jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32), dtype=dtype)
+        for _ in range(3)
+    ]
+
+    @jax.jit
+    def downsizes(x):
+        return resize_scale(x, 0.5), resize_scale(x, 0.25)
+
+    downs = [downsizes(x) for x in inputs]
+
+    @jax.jit
+    def towers(args):
+        x2s, x3s = args
+        f2 = model.apply(variables, x2s, method=lambda m, a: m.scale2(a))
+        f3 = model.apply(variables, x3s, method=lambda m, a: m.scale3(a))
+        return f2, f3
+
+    fs = [towers(d) for d in downs]
+
+    @jax.jit
+    def upsizes(args):
+        f2, f3 = args
+        return (
+            s2d(resize_bilinear(f2, H, W)),
+            s2d(resize_bilinear(f3, H, W)),
+        )
+
+    measure("downsizes (1/2, 1/4)", downsizes, inputs, batch=batch)
+    measure("towers only", towers, downs, batch=batch)
+    measure("upsizes+s2d", upsizes, fs, batch=batch)
 
 
 @exp("pallas_old")

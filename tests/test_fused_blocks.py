@@ -1,0 +1,66 @@
+"""Fused whole-block Pallas kernels (ops/fused_blocks.py) vs XLA formulations.
+
+Interpreter mode on CPU; real lowering is exercised by scripts/perf_lab.py
+(`netstages`) and the TPU benchmark. Both kernels must be exact up to f32
+reassociation (they implement the same math as the packed XLA path that
+tests/test_packed_inference.py already validates against the Flax model).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from retinex_tpu.ops.fused_blocks import dec1_chain, fam_dual_conv3, fam_dual_supported
+
+
+def _conv(x, k, b=None, pad=1):
+    out = lax.conv_general_dilated(
+        x, k, (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out if b is None else out + b
+
+
+def test_fam_dual_supported():
+    assert fam_dual_supported((2, 544, 960, 128))  # the packed 1080p shape
+    assert fam_dual_supported((1, 16, 128, 128))
+    assert not fam_dual_supported((1, 16, 128, 64))  # wrong channel count
+    assert not fam_dual_supported((1, 15, 100, 128))  # no valid tiles
+
+
+def test_fam_dual_conv3_matches_xla():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 128, 128)) * 0.3, jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 128, 256)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
+    k2a = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    b2a = jnp.asarray(rng.standard_normal((128,)), jnp.float32)
+    k2b = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    b2b = jnp.asarray(rng.standard_normal((128,)), jnp.float32)
+
+    y = jax.nn.relu(_conv(x, k1, b1))
+    want = jnp.concatenate(
+        [_conv(y[..., :128], k2a, b2a), _conv(y[..., 128:], k2b, b2b)], axis=-1
+    )
+    got = fam_dual_conv3(x, k1, b1, k2a, b2a, k2b, b2b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_dec1_chain_matches_xla():
+    rng = np.random.default_rng(1)
+    d2 = jnp.asarray(rng.standard_normal((1, 16, 128, 64)) * 0.3, jnp.float32)
+    x1p = jnp.asarray(np.abs(rng.standard_normal((1, 16, 128, 128))) * 0.3, jnp.float32)
+    ku = jnp.asarray(rng.standard_normal((1, 1, 64, 128)) * 0.1, jnp.float32)
+    bu = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+    ks = [jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32) for _ in range(3)]
+    bs = [jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32) for _ in range(3)]
+
+    y = _conv(d2, ku, bu, pad=0)
+    y = jax.nn.relu(_conv(y, ks[0], bs[0]))
+    y = jax.nn.relu(_conv(y, ks[1], bs[1])) + x1p
+    want = jax.nn.relu(_conv(y, ks[2], bs[2]))
+    got = dec1_chain(
+        d2, x1p, ku, bu, ks[0], bs[0], ks[1], bs[1], ks[2], bs[2], interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
