@@ -66,9 +66,34 @@ def _lab_f_inv(ft):
     return jnp.where(ft > 6.0 / 29.0, ft**3, (ft - 16.0 / 116.0) / 7.787)
 
 
-def _linear_to_srgb(x):
-    x = jnp.maximum(x, 0.0)
-    return jnp.where(x <= 0.0031308, x * 12.92, 1.055 * x ** (1.0 / 2.4) - 0.055)
+def _fast_cbrt(x):
+    """x**(1/3) for x > 0 without pow: bit-trick seed + 2 division-free
+    Newton steps on z ~ x**(-1/3) (z' = z(4 - x z^3)/3), then cbrt = x z^2.
+
+    Mosaic lowers pow as exp(log(x)*y) — two multi-pass transcendentals per
+    element; this is ~14 mul/adds. Max rel err 2.3e-5 over the Lab/sRGB input
+    ranges = <0.01 of an 8-bit output level (verified vs float64 cbrt), far
+    inside the pipeline's +-1 level parity budget.
+    """
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    # xi // 3 via float multiply (exact trunc unnecessary: Newton absorbs
+    # seed perturbations; integer div lowers poorly on the VPU).
+    third = (xi.astype(jnp.float32) * (1.0 / 3.0)).astype(jnp.int32)
+    z = jax.lax.bitcast_convert_type(jnp.int32(0x54A232A3) - third, jnp.float32)
+    for _ in range(2):
+        z = z * (4.0 - x * z * z * z) * (1.0 / 3.0)
+    return x * z * z
+
+
+def _linear_to_srgb(x, fastmath=True):
+    # x**(1/2.4) = c * sqrt(sqrt(c)) with c = cbrt(x): 1/2.4 == (1/3)*(5/4).
+    x = jnp.maximum(x, 1e-12)
+    if fastmath:
+        c = _fast_cbrt(x)
+        g = c * jnp.sqrt(jnp.sqrt(c))
+    else:
+        g = x ** (1.0 / 2.4)
+    return jnp.where(x <= 0.0031308, x * 12.92, 1.055 * g - 0.055)
 
 
 def gather_supported(h: int, w: int, tiles_y: int, tiles_x: int) -> bool:
@@ -80,95 +105,105 @@ def gather_supported(h: int, w: int, tiles_y: int, tiles_x: int) -> bool:
     return w // (2 * tiles_x) <= 128
 
 
-def _apply_kernel(hh, hw, lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
-    """One program = one half-tile row band of one image.
+def _apply_kernel(hh, hw, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
+    """One program = `nb` half-tile row bands of one image (nb EVEN so the
+    cell-y parity of band r inside the block is statically r % 2; many tiny
+    band programs measured overhead-bound — see BENCH_NOTES.md round 2).
 
-    The band's W axis is pre-split into (ncx, hw) so the minor two dims map a
+    Within a band the y-neighbour tiles and the ya parity are fixed. The
+    band's W axis is pre-split into (ncx, hw) so the minor two dims map a
     vreg sublane to one x-cell and its lanes to the pixel offset inside that
     cell. Mosaic's dynamic_gather only addresses a single vreg along the lane
     axis, so each LUT table row is one 128-entry half of its cell's LUT —
     exactly the per-sublane gather the hardware supports.
 
-    lab_ref:  [3, hh, ncx, hw] uint8 Lab
-    luts_ref: [2, ncx, 128] int32 — the 4 neighbour LUTs byte-packed into one
-              word per entry: word = l00 | l01<<8 | l10<<16 | l11<<24, entry
-              k*128+e of x-cell c at [k, c, e]. One packed lookup (2 gathers +
-              1 select) replaces 4 independent lookups (8 gathers + 4 selects).
+    lab_ref:  [3, nb, hh, ncx, hw] uint8 Lab
+    luts_ref: [nb, 2, ncx, 128] int32 — the 4 neighbour LUTs byte-packed into
+              one word per entry: word = l00 | l01<<8 | l10<<16 | l11<<24,
+              entry k*128+e of x-cell c at [k, c, e]. One packed lookup (2
+              gathers + 1 select) replaces 4 lookups (8 gathers + 4 selects).
     xa_ref:   [ncx, hw] f32 — xa blend weight (x-cell parity baked in)
     ya_ref:   [hh, 2] f32 — ya by (y offset, cell-y parity)
-    out_ref:  [3, hh, ncx, hw] uint8 RGB
+    out_ref:  [3, nb, hh, ncx, hw] uint8 RGB
     """
-    cy = pl.program_id(1)
-    ncx = lab_ref.shape[2]
+    ncx = lab_ref.shape[3]
     rows = hh * ncx
-    # Mosaic's dynamic_gather is 2D-only: flatten (hh, ncx) -> rows (a free,
-    # layout-preserving leading-dim merge; lanes stay hw).
-    v = lab_ref[0].astype(jnp.int32).reshape(rows, hw)
     shape = (rows, hw)
-
-    xa = jnp.broadcast_to(xa_ref[None], (hh, ncx, hw)).reshape(shape)
-    ya2 = jnp.where(cy % 2 == 0, ya_ref[:, 0:1], ya_ref[:, 1:2])  # [hh, 1]
-    ya = jnp.broadcast_to(ya2[:, :, None], (hh, ncx, hw)).reshape(shape)
-
-    # 2x128-entry LUT chunks: the pixel block physically occupies 128-lane
-    # vregs anyway, so padding it to 128 logical lanes once lets the packed
-    # lookup be 2 gathers + 1 select instead of n_chunks of each.
-    v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
-    hi_side = v128 >= 128
-    idx128 = jnp.where(hi_side, v128 - 128, v128)
     shape128 = (rows, 128)
+    xa = jnp.broadcast_to(xa_ref[None], (hh, ncx, hw)).reshape(shape)
 
-    lo_t = jnp.broadcast_to(luts_ref[0][None], (hh, ncx, 128)).reshape(shape128)
-    hi_t = jnp.broadcast_to(luts_ref[1][None], (hh, ncx, 128)).reshape(shape128)
-    g_lo = jnp.take_along_axis(lo_t, idx128, axis=1)
-    g_hi = jnp.take_along_axis(hi_t, idx128, axis=1)
-    word = jnp.where(hi_side, g_hi, g_lo)[:, :hw]
-    l00 = (word & 255).astype(jnp.float32)
-    l01 = ((word >> 8) & 255).astype(jnp.float32)
-    l10 = ((word >> 16) & 255).astype(jnp.float32)
-    l11 = ((word >> 24) & 255).astype(jnp.float32)
+    for r in range(nb):
+        # Mosaic's dynamic_gather is 2D-only: flatten (hh, ncx) -> rows (a
+        # free, layout-preserving leading-dim merge; lanes stay hw).
+        v = lab_ref[0, r].astype(jnp.int32).reshape(rows, hw)
 
-    # Same multiply arrangement as clahe_u8_fast so .5-tie rounding matches.
-    top = l00 * (1.0 - xa) + l01 * xa
-    bot = l10 * (1.0 - xa) + l11 * xa
-    L2 = jnp.clip(jnp.round(top * (1.0 - ya) + bot * ya), 0.0, 255.0)
+        if nb % 2 == 0:
+            ya2 = ya_ref[:, (r % 2) : (r % 2) + 1]  # [hh, 1], parity static
+        else:
+            cy = pl.program_id(1) * nb + r
+            ya2 = jnp.where(cy % 2 == 0, ya_ref[:, 0:1], ya_ref[:, 1:2])
+        ya = jnp.broadcast_to(ya2[:, :, None], (hh, ncx, hw)).reshape(shape)
 
-    # Inverse 8-bit-scale Lab -> RGB (matches ops/colorspace.lab_u8_to_rgb).
-    # Mosaic has no direct uint8 -> f32 cast; hop through int32.
-    a8 = lab_ref[1].astype(jnp.int32).astype(jnp.float32).reshape(shape)
-    b8 = lab_ref[2].astype(jnp.int32).astype(jnp.float32).reshape(shape)
-    fy = (L2 * (100.0 / 255.0) + 16.0) / 116.0
-    fx = fy + (a8 - 128.0) / 500.0
-    fz = fy - (b8 - 128.0) / 200.0
-    Y = _lab_f_inv(fy)
-    X = _lab_f_inv(fx) * _XN
-    Z = _lab_f_inv(fz) * _ZN
-    m = _XYZ2RGB
-    for c in range(3):
-        ch = _linear_to_srgb(m[c][0] * X + m[c][1] * Y + m[c][2] * Z)
-        ch = jnp.round(jnp.clip(ch, 0.0, 1.0) * 255.0).astype(jnp.int32)
-        out_ref[c] = ch.astype(jnp.uint8).reshape(hh, ncx, hw)
+        # 2x128-entry LUT chunks: the pixel block physically occupies 128-lane
+        # vregs anyway, so padding it to 128 logical lanes once lets the packed
+        # lookup be 2 gathers + 1 select instead of n_chunks of each.
+        v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
+        hi_side = v128 >= 128
+        idx128 = jnp.where(hi_side, v128 - 128, v128)
+
+        lo_t = jnp.broadcast_to(luts_ref[r, 0][None], (hh, ncx, 128)).reshape(shape128)
+        hi_t = jnp.broadcast_to(luts_ref[r, 1][None], (hh, ncx, 128)).reshape(shape128)
+        g_lo = jnp.take_along_axis(lo_t, idx128, axis=1)
+        g_hi = jnp.take_along_axis(hi_t, idx128, axis=1)
+        word = jnp.where(hi_side, g_hi, g_lo)[:, :hw]
+        l00 = (word & 255).astype(jnp.float32)
+        l01 = ((word >> 8) & 255).astype(jnp.float32)
+        l10 = ((word >> 16) & 255).astype(jnp.float32)
+        l11 = ((word >> 24) & 255).astype(jnp.float32)
+
+        # Same multiply arrangement as clahe_u8_fast so .5-tie rounding matches.
+        top = l00 * (1.0 - xa) + l01 * xa
+        bot = l10 * (1.0 - xa) + l11 * xa
+        L2 = jnp.clip(jnp.round(top * (1.0 - ya) + bot * ya), 0.0, 255.0)
+
+        # Inverse 8-bit-scale Lab -> RGB (matches ops/colorspace.lab_u8_to_rgb).
+        # Mosaic has no direct uint8 -> f32 cast; hop through int32.
+        a8 = lab_ref[1, r].astype(jnp.int32).astype(jnp.float32).reshape(shape)
+        b8 = lab_ref[2, r].astype(jnp.int32).astype(jnp.float32).reshape(shape)
+        fy = (L2 * (100.0 / 255.0) + 16.0) / 116.0
+        fx = fy + (a8 - 128.0) / 500.0
+        fz = fy - (b8 - 128.0) / 200.0
+        Y = _lab_f_inv(fy)
+        X = _lab_f_inv(fx) * _XN
+        Z = _lab_f_inv(fz) * _ZN
+        m = _XYZ2RGB
+        for c in range(3):
+            ch = _linear_to_srgb(m[c][0] * X + m[c][1] * Y + m[c][2] * Z, fastmath)
+            ch = jnp.round(jnp.clip(ch, 0.0, 1.0) * 255.0).astype(jnp.int32)
+            out_ref[c, r] = ch.astype(jnp.uint8).reshape(hh, ncx, hw)
 
 
-def _fwd_kernel(hh, hw, rgb_ref, dg_ref, out_ref):
-    """Forward colorspace: planar u8 sRGB -> 8-bit-scale Lab u8, one row band.
+def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref):
+    """Forward colorspace: planar u8 sRGB -> 8-bit-scale Lab u8, nb row bands.
 
-    rgb_ref: [3, hh, ncx, hw] uint8; dg_ref: [2, 128] f32 (sRGB de-gamma LUT
-    in two 128-entry halves: dg[k, e] = srgb_to_linear((k*128+e)/255) —
+    rgb_ref: [3, nb, hh, ncx, hw] uint8; dg_ref: [2, 128] f32 (sRGB de-gamma
+    LUT in two 128-entry halves: dg[k, e] = srgb_to_linear((k*128+e)/255) —
     gathers reproduce the XLA path's de-gamma bit-for-bit since inputs are
-    u8); out_ref like rgb_ref. The only divergence from
-    ops/colorspace.rgb_to_lab_u8 is Mosaic's pow(x, 1/3) standing in for cbrt
-    (no cbrt primitive): +-1 L level on a ~1e-5 fraction of pixels.
+    u8); out_ref [3, nb, hh, ncx, hw]. The only divergence from
+    ops/colorspace.rgb_to_lab_u8 is the cbrt: Mosaic has no cbrt primitive,
+    so the TPU build (fastmath=True) uses the Newton `_fast_cbrt` (2.3e-5 rel
+    = ~0.007 L level systematic error; flips quantization at ties only);
+    interpret/test mode uses exact jnp.cbrt, matching the XLA path bit-for-bit.
     """
-    ncx = rgb_ref.shape[2]
+    ncx = rgb_ref.shape[3]
     rows = hh * ncx
     shape = (rows, hw)
     shape128 = (rows, 128)
     lo_t = jnp.broadcast_to(dg_ref[0][None], shape128)
     hi_t = jnp.broadcast_to(dg_ref[1][None], shape128)
 
-    def degamma(c):
-        v = rgb_ref[c].astype(jnp.int32).reshape(shape)
+    def degamma(vals):
+        v = vals.astype(jnp.int32).reshape(shape)
         v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
         hi_side = v128 >= 128
         idx = jnp.where(hi_side, v128 - 128, v128)
@@ -179,23 +214,25 @@ def _fwd_kernel(hh, hw, rgb_ref, dg_ref, out_ref):
         )
         return g[:, :hw]
 
-    r, g, b_ = degamma(0), degamma(1), degamma(2)
-    m = _RGB2XYZ_T
-    X = (m[0][0] * r + m[0][1] * g + m[0][2] * b_) / _XN
-    Y = m[1][0] * r + m[1][1] * g + m[1][2] * b_
-    Z = (m[2][0] * r + m[2][1] * g + m[2][2] * b_) / _ZN
-
     def lab_f(t):
-        cuberoot = jnp.power(jnp.maximum(t, 1e-12), 1.0 / 3.0)
+        t_pos = jnp.maximum(t, 1e-12)
+        cuberoot = _fast_cbrt(t_pos) if fastmath else jnp.cbrt(t_pos)
         return jnp.where(t > 0.008856, cuberoot, 7.787 * t + 16.0 / 116.0)
 
-    fx, fy, fz = lab_f(X), lab_f(Y), lab_f(Z)
-    L8 = (116.0 * fy - 16.0) * (255.0 / 100.0)
-    a8 = 500.0 * (fx - fy) + 128.0
-    b8 = 200.0 * (fy - fz) + 128.0
-    for c, ch in enumerate((L8, a8, b8)):
-        q = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(jnp.int32)
-        out_ref[c] = q.astype(jnp.uint8).reshape(hh, ncx, hw)
+    for band in range(nb):
+        r, g, b_ = (degamma(rgb_ref[c, band]) for c in range(3))
+        m = _RGB2XYZ_T
+        X = (m[0][0] * r + m[0][1] * g + m[0][2] * b_) / _XN
+        Y = m[1][0] * r + m[1][1] * g + m[1][2] * b_
+        Z = (m[2][0] * r + m[2][1] * g + m[2][2] * b_) / _ZN
+
+        fx, fy, fz = lab_f(X), lab_f(Y), lab_f(Z)
+        L8 = (116.0 * fy - 16.0) * (255.0 / 100.0)
+        a8 = 500.0 * (fx - fy) + 128.0
+        b8 = 200.0 * (fy - fz) + 128.0
+        for c, ch in enumerate((L8, a8, b8)):
+            q = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(jnp.int32)
+            out_ref[c, band] = q.astype(jnp.uint8).reshape(hh, ncx, hw)
 
 
 def _hist_planar(l_u8: jnp.ndarray, tiles_y: int, tiles_x: int) -> jnp.ndarray:
@@ -277,19 +314,27 @@ def clahe_rgb_u8_planar_gather(
     # Lab intermediate is CHANNEL-LEADING [3, b, ...] so the histogram stage
     # reads the L plane as one contiguous slice (a [b, 3, ...] layout makes it
     # a strided gather + relayout, measured ~1 ms/batch slower).
+    fastmath = not interpret  # exact transcendental math under the interpreter
+    # Bands per program: many tiny band programs are dispatch-overhead-bound
+    # (128 programs measured ~12 us each vs ~1 us of roofline work); batching
+    # bands amortizes it. Even nb keeps the apply kernel's cell-y parity
+    # static per unrolled band. nb=4 at 1080p keeps each program's in+out
+    # blocks + unrolled f32 temporaries inside the v5e 16 MB scoped VMEM
+    # (nb=8 measured 784 KB over).
+    nb = next((d for d in (4, 2, 1) if ncy % d == 0), 1)
     lab6 = pl.pallas_call(
-        functools.partial(_fwd_kernel, hh, hw),
-        grid=(b, ncy),
+        functools.partial(_fwd_kernel, hh, hw, fastmath, nb),
+        grid=(b, ncy // nb),
         in_specs=[
             pl.BlockSpec(
-                (None, 3, None, hh, ncx, hw),
+                (None, 3, nb, hh, ncx, hw),
                 lambda i, j: (i, 0, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (3, None, None, hh, ncx, hw),
+            (3, None, nb, hh, ncx, hw),
             lambda i, j: (0, i, j, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -297,6 +342,10 @@ def clahe_rgb_u8_planar_gather(
         interpret=interpret,
     )(rgb6, dg_tab)
 
+    # The barrier keeps XLA from interleaving the hist/table computation into
+    # the kernels' schedules (measured 5.03 -> 4.16 ms/batch, perf_lab decomp
+    # E vs E2): each stage compiles to its own clean program region.
+    lab6 = jax.lax.optimization_barrier(lab6)
     hist = _hist_planar(lab6[0].reshape(b, h, w), tiles_y, tiles_x)
     luts = _luts_from_hist(hist, clip_limit, area).astype(jnp.float32)
     luts16 = luts.reshape(b, tiles_y, tiles_x, HIST_SIZE)
@@ -317,7 +366,9 @@ def clahe_rgb_u8_planar_gather(
     # halves: entry k*128+e of x-cell c at [.., k, c, e]. One packed gather
     # replaces four u8 gathers; same HBM bytes as four u8 tables.
     packed = lut4[:, :, 0] | (lut4[:, :, 1] << 8) | (lut4[:, :, 2] << 16) | (lut4[:, :, 3] << 24)
-    lane_luts = packed.reshape(b, ncy, ncx, 2, 128).transpose(0, 1, 3, 2, 4)
+    lane_luts = jax.lax.optimization_barrier(
+        packed.reshape(b, ncy, ncx, 2, 128).transpose(0, 1, 3, 2, 4)
+    )
 
     wx = _blend_weights(hw)  # [2, hw] f32
     wy = _blend_weights(hh)  # [2, hh] f32
@@ -326,16 +377,16 @@ def clahe_rgb_u8_planar_gather(
 
     # ---- Pallas: LUT apply + inverse colorspace over row bands ----
     rgbp = pl.pallas_call(
-        functools.partial(_apply_kernel, hh, hw),
-        grid=(b, ncy),
+        functools.partial(_apply_kernel, hh, hw, fastmath, nb),
+        grid=(b, ncy // nb),
         in_specs=[
             pl.BlockSpec(
-                (3, None, None, hh, ncx, hw),
+                (3, None, nb, hh, ncx, hw),
                 lambda i, j: (0, i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, None, 2, ncx, 128),
+                (None, nb, 2, ncx, 128),
                 lambda i, j: (i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -343,7 +394,7 @@ def clahe_rgb_u8_planar_gather(
             pl.BlockSpec((hh, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (None, 3, None, hh, ncx, hw),
+            (None, 3, nb, hh, ncx, hw),
             lambda i, j: (i, 0, j, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),

@@ -68,3 +68,19 @@ def test_hwc_squeeze(img):
     out = np.asarray(clahe_lab_rgb_gather(single, interpret=True))
     batched = np.asarray(clahe_lab_rgb_gather(img, interpret=True))
     np.testing.assert_array_equal(out, batched[0])
+
+
+def test_fast_cbrt_accuracy():
+    # The TPU kernels (fastmath=True) use the Newton cbrt; its error must be
+    # far below one 8-bit output level over the Lab/sRGB input ranges.
+    from retinex_tpu.ops.clahe_gather import _fast_cbrt
+
+    t = jnp.asarray(np.linspace(1e-12, 1.1, 200_001, dtype=np.float32)[1:])
+    got = np.asarray(_fast_cbrt(t))
+    ref = np.cbrt(np.asarray(t, np.float64))
+    rel = np.abs(got - ref) / ref
+    assert rel.max() < 5e-5, rel.max()
+    # gamma route: x**(1/2.4) == cbrt(x) * sqrt(sqrt(cbrt(x)))
+    x64 = np.asarray(t, np.float64)
+    g = got * np.sqrt(np.sqrt(got))
+    assert np.abs(g - x64 ** (1 / 2.4)).max() * 255 * 1.055 < 0.05
