@@ -24,7 +24,14 @@ import numpy as np
 from jax import lax
 
 from retinex_tpu.ops.conv_pallas import conv2d_pallas, conv_pallas_supported
-from retinex_tpu.ops.fused_blocks import dec1_chain, fam_dual_conv3, fam_dual_supported
+from retinex_tpu.ops.fused_blocks import (
+    dec1_chain,
+    fam_dual_conv3,
+    fam_dual_supported,
+    fam_tail_apply,
+    fam_tail_stats,
+    fam_tail_supported,
+)
 from retinex_tpu.ops.resize import resize_bilinear, resize_scale
 from retinex_tpu.ops.s2d import (
     conv_im2col,
@@ -39,6 +46,44 @@ from retinex_tpu.ops.s2d import (
 )
 
 _BN_EPS = 1e-5
+
+
+def _pack_fam(fam):
+    """Pre-pack an EnhancedFAM's weights for packed-space evaluation.
+
+    Returns a dict: packed per-branch kernels/biases, the fusion 1x1 split
+    into per-branch row blocks (fusion(cat4(b1..b4)) == sum_i b_i @ W_i,
+    which skips the quadrant interleave relayout of the 4c-channel concat —
+    the kernel rows carry the permute), the stacked branch3/branch4 first
+    convs for ops/fused_blocks.fam_dual_conv3, and the raw ca params
+    (ca_reduce / ca_expand run unpacked on the GAP vector).
+    """
+    k = {
+        "branch1": pack_pointwise(fam["branch1"]["kernel"]),
+        "branch2_conv": pack_pointwise(fam["branch2_conv"]["kernel"]),
+        "branch3_conv1": pack_kernel_s1(fam["branch3_conv1"]["kernel"]),
+        "branch3_conv2": pack_kernel_s1(fam["branch3_conv2"]["kernel"]),
+        "branch4_conv1": pack_kernel_s1(fam["branch4_conv1"]["kernel"]),
+        "branch4_conv2": pack_kernel_s1(fam["branch4_conv2"]["kernel"], dilation=2),
+        "fusion": pack_pointwise(fam["fusion"]["kernel"]),
+        "sa_conv": pack_kernel_s1(fam["sa_conv"]["kernel"]),
+    }
+    b = {name: fam[name]["bias"] for name in (
+        "branch1", "branch2_conv", "branch3_conv1", "branch3_conv2",
+        "branch4_conv1", "branch4_conv2", "fusion", "sa_conv",
+    )}
+    c = fam["fusion"]["kernel"].shape[-1]
+    kfu = fam["fusion"]["kernel"]  # [1,1,4c,c], input rows (branch, c)
+    return {
+        "k": k,
+        "b": b,
+        "parts": [pack_pointwise(kfu[:, :, c * i : c * (i + 1), :]) for i in range(4)],
+        "dual_k1": jnp.concatenate([k["branch3_conv1"], k["branch4_conv1"]], axis=-1),
+        "dual_b1": jnp.concatenate(
+            [_tile4(b["branch3_conv1"]), _tile4(b["branch4_conv1"])]
+        ),
+        "ca": fam,
+    }
 
 
 def _conv_auto(x, packed_kernel, bias=None, relu=False):
@@ -164,37 +209,13 @@ class PackedRetinex:
         sc1 = p["scale1"]
         self.k_s1conv = pack_kernel_s1(sc1["conv"]["kernel"])
         self.b_s1conv = sc1["conv"]["bias"]
-        fam = sc1["fam"]
-        self.fam_k = {
-            "branch1": pack_pointwise(fam["branch1"]["kernel"]),
-            "branch2_conv": pack_pointwise(fam["branch2_conv"]["kernel"]),
-            "branch3_conv1": pack_kernel_s1(fam["branch3_conv1"]["kernel"]),
-            "branch3_conv2": pack_kernel_s1(fam["branch3_conv2"]["kernel"]),
-            "branch4_conv1": pack_kernel_s1(fam["branch4_conv1"]["kernel"]),
-            "branch4_conv2": pack_kernel_s1(fam["branch4_conv2"]["kernel"], dilation=2),
-            "fusion": pack_pointwise(fam["fusion"]["kernel"]),
-            "sa_conv": pack_kernel_s1(fam["sa_conv"]["kernel"]),
-        }
-        self.fam_b = {name: fam[name]["bias"] for name in (
-            "branch1", "branch2_conv", "branch3_conv1", "branch3_conv2",
-            "branch4_conv1", "branch4_conv2", "fusion", "sa_conv",
-        )}
-        self.fam_ca = fam  # ca_reduce / ca_expand used unpacked (1x1 on GAP)
-        # FAM fusion 1x1 split into per-branch row blocks: fusion(cat4(b1..b4))
-        # == sum_i b_i @ W_i, which skips the quadrant interleave relayout of
-        # the 512-channel concat entirely (the kernel rows carry the permute).
-        kfu = fam["fusion"]["kernel"]  # [1,1,128,32], input rows (branch, 32)
-        self.fam_fusion_parts = [
-            pack_pointwise(kfu[:, :, 32 * i : 32 * (i + 1), :]) for i in range(4)
-        ]
-        # Fused branch3/branch4 chain (ops/fused_blocks.fam_dual_conv3): the
-        # two first convs stacked along Cout, biases pre-tiled per quadrant.
-        self.fam_dual_k1 = jnp.concatenate(
-            [self.fam_k["branch3_conv1"], self.fam_k["branch4_conv1"]], axis=-1
-        )
-        self.fam_dual_b1 = jnp.concatenate(
-            [_tile4(self.fam_b["branch3_conv1"]), _tile4(self.fam_b["branch4_conv1"])]
-        )
+        self.fam1 = _pack_fam(sc1["fam"])
+        # scale2's tower is the same narrow-conv shape at half resolution
+        # (pool-2 -> 32ch conv + FAM); pack it the same way.
+        sc2 = p["scale2"]
+        self.k_s2conv = pack_kernel_s1(sc2["conv"]["kernel"])
+        self.b_s2conv = sc2["conv"]["bias"]
+        self.fam2 = _pack_fam(sc2["fam"])
 
         self.k_fusion = pack_pointwise(p["fusion"]["kernel"])
         self.b_fusion = p["fusion"]["bias"]
@@ -205,6 +226,7 @@ class PackedRetinex:
         kf = p["fusion"]["kernel"]
         self.k_fusion_f1 = pack_pointwise(kf[:, :, 0:32, :])
         self.w_fusion_f2 = kf[:, :, 32:64, :]
+        self.k_fusion_f2p = pack_pointwise(kf[:, :, 32:64, :])
         self.w_fusion_f3 = kf[:, :, 64:96, :]
         self.k_output = pack_pointwise(p["output_layer"]["kernel"])
         self.b_output = p["output_layer"]["bias"]
@@ -250,21 +272,24 @@ class PackedRetinex:
             y = jax.nn.relu(_affine(y, sc, bi, tile=True))
         return y
 
-    def _fam_packed(self, xp, c=32):
-        """EnhancedFAM on packed [*, 4c] input."""
-        k, bset = self.fam_k, self.fam_b
+    def _fam_packed(self, xp, fw, c=32):
+        """EnhancedFAM on packed [*, 4c] input; fw = a `_pack_fam` bundle."""
+        k, bset = fw["k"], fw["b"]
         import os
 
         b1 = _conv_auto(xp, k["branch1"], bias=bset["branch1"])
         b2 = maxpool3x3_s1_s2d(xp)
         b2 = _conv_auto(b2, k["branch2_conv"], bias=bset["branch2_conv"])
+        # Opt-in only: the fused dual kernel measured 60 TF/s vs XLA's 71.5
+        # on these chains (perf_lab `fusedblocks`/`famparts`) — XLA's conv
+        # emitter wins here; the FAM's real cost is attention/elementwise.
         if (
-            jax.devices()[0].platform != "cpu"
+            os.environ.get("RETINEX_FUSED_FAM")
+            and jax.devices()[0].platform != "cpu"
             and fam_dual_supported(xp.shape)
-            and not os.environ.get("RETINEX_NO_FUSED")
         ):
             dual = fam_dual_conv3(
-                xp, self.fam_dual_k1, self.fam_dual_b1,
+                xp, fw["dual_k1"], fw["dual_b1"],
                 k["branch3_conv2"], _tile4(bset["branch3_conv2"]),
                 k["branch4_conv2"], _tile4(bset["branch4_conv2"]),
             )
@@ -275,7 +300,7 @@ class PackedRetinex:
             b4 = _conv_auto(xp, k["branch4_conv1"], bias=bset["branch4_conv1"], relu=True)
             b4 = _conv_auto(b4, k["branch4_conv2"], bias=bset["branch4_conv2"])
 
-        kf = self.fam_fusion_parts
+        kf = fw["parts"]
         out = jax.nn.relu(
             _conv(b1, kf[0]) + _conv(b2, kf[1]) + _conv(b3, kf[2]) + _conv(b4, kf[3])
             + _tile4(bset["fusion"]).astype(b1.dtype)
@@ -285,10 +310,28 @@ class PackedRetinex:
         # AND quadrants.
         bsz = out.shape[0]
         gap = out.mean(axis=(1, 2)).reshape(bsz, 4, c).mean(axis=1)[:, None, None, :]
-        ca = _conv(gap, self.fam_ca["ca_reduce"]["kernel"], self.fam_ca["ca_reduce"]["bias"])
+        ca = _conv(gap, fw["ca"]["ca_reduce"]["kernel"], fw["ca"]["ca_reduce"]["bias"])
         ca = jax.nn.relu(ca)
-        ca = _conv(ca, self.fam_ca["ca_expand"]["kernel"], self.fam_ca["ca_expand"]["bias"])
+        ca = _conv(ca, fw["ca"]["ca_expand"]["kernel"], fw["ca"]["ca_expand"]["bias"])
         ca = jax.nn.sigmoid(ca)
+
+        if (
+            os.environ.get("RETINEX_FUSED_TAIL")
+            and jax.devices()[0].platform != "cpu"
+            and fam_tail_supported(out.shape)
+        ):
+            # Opt-in only: standalone the two tail kernels measure 4.8 ms vs
+            # XLA's ~7 ms of relayout-bound stats/multiply passes, but INSIDE
+            # the full FAM graph the custom calls constrain 267 MB operands to
+            # row-major and the surrounding convs pay ~37 ms of layout copies
+            # (netstages: FAM 73.1 ms fused vs 36.3 ms XLA tail).
+            ca_vec = _tile4(ca[:, 0, 0, :])  # [b, 128]
+            sa_in = fam_tail_stats(out, ca_vec)
+            sa = jax.nn.sigmoid(
+                _conv_auto(sa_in, k["sa_conv"], bias=bset["sa_conv"])
+            )
+            return fam_tail_apply(out, ca_vec, sa)
+
         out = out * _tile4(ca).astype(out.dtype)
 
         # Spatial attention per original pixel: per-quadrant channel mean/max,
@@ -298,7 +341,7 @@ class PackedRetinex:
         avg_map = blocks.mean(axis=-1)  # [b,h,w,4]
         max_map = blocks.max(axis=-1)
         sa_in = jnp.stack([avg_map, max_map], axis=-1).reshape(b_, hh, ww, 8)
-        sa = jax.nn.sigmoid(_conv_auto(sa_in, self.fam_k["sa_conv"], bias=bset["sa_conv"]))
+        sa = jax.nn.sigmoid(_conv_auto(sa_in, k["sa_conv"], bias=bset["sa_conv"]))
         return (blocks * sa[..., None]).reshape(b_, hh, ww, 4 * c)
 
     # ---------- full forward ----------
@@ -338,19 +381,41 @@ class PackedRetinex:
 
         reflectance = x / (illu + model.epsilon)
 
-        # Scale towers: scale1 packed; scale2/3 (low-res) via Flax.
+        # Scale towers: scale1 and scale2 packed; scale3 (tiny) via Flax.
         f1p = _conv_auto(xp, self.k_s1conv, bias=self.b_s1conv, relu=True)
-        f1p = self._fam_packed(f1p)
+        f1p = self._fam_packed(f1p, self.fam1)
 
         h, w = x.shape[1], x.shape[2]
         x2s = resize_scale(x, 0.5)
         x3s = resize_scale(x, 0.25)
-        f2 = model.apply(variables, x2s, method=lambda m, a: m.scale2(a))
+        h2, w2 = x2s.shape[1], x2s.shape[2]
+        # scale2 = pool-2 -> 32ch conv -> FAM: the same narrow-conv shape at
+        # half resolution, packable the same way (exact; the 2x2/s2 max-pool
+        # in packed space is a per-quadrant channel max). Opt-in only: at 1/4
+        # resolution the packed form's 4x FLOPs outweigh the MXU-utilization
+        # win (netstages: 5.41 ms packed vs 4.56 ms Flax per batch(2)).
+        use_packed_s2 = (
+            bool(os.environ.get("RETINEX_PACKED_SCALE2"))
+            and 2 * h2 == h and 2 * w2 == w and h2 % 4 == 0 and w2 % 4 == 0
+        )
+        f2p = None
+        if use_packed_s2:
+            x2p = s2d(x2s.astype(model.dtype))  # [B, h2/2, w2/2, 12]
+            pooled = x2p.reshape(*x2p.shape[:3], 4, 3).max(axis=3)
+            f2p = _conv_auto(s2d(pooled), self.k_s2conv, bias=self.b_s2conv, relu=True)
+            f2p = self._fam_packed(f2p, self.fam2)
+            f2_h, f2_w = 2 * f2p.shape[1], 2 * f2p.shape[2]
+        else:
+            f2 = model.apply(variables, x2s, method=lambda m, a: m.scale2(a))
+            f2_h, f2_w = f2.shape[1], f2.shape[2]
         f3 = model.apply(variables, x3s, method=lambda m, a: m.scale3(a))
 
-        if 4 * f2.shape[1] == h and 4 * f2.shape[2] == w and 16 * f3.shape[1] == h:
+        if 4 * f2_h == h and 4 * f2_w == w and 16 * f3.shape[1] == h:
             g1 = _conv_auto(f1p, self.k_fusion_f1)
-            g2 = _conv(f2, self.w_fusion_f2)
+            if use_packed_s2:
+                g2 = d2s(_conv_auto(f2p, self.k_fusion_f2p))
+            else:
+                g2 = _conv(f2, self.w_fusion_f2)
             g3 = _conv(f3, self.w_fusion_f3)
             fused = (
                 g1
@@ -359,6 +424,8 @@ class PackedRetinex:
                 + _tile4(self.b_fusion).astype(g1.dtype)
             )
         else:  # shapes that don't refold exactly: the direct (resize) form
+            if use_packed_s2:
+                f2 = d2s(f2p)
             f2p = s2d(resize_bilinear(f2, h, w))
             f3p = s2d(resize_bilinear(f3, h, w))
             fused = _interleave_packed([f1p, f2p, f3p], 32)

@@ -308,21 +308,27 @@ def clahe_rgb_u8_planar_gather(
     area = (2 * hh) * (2 * hw)
 
     rgb6 = xp_u8.reshape(b, 3, ncy, hh, ncx, hw)
+    lab6 = _fwd_stage(rgb6, interpret)
+    lab6 = jax.lax.optimization_barrier(lab6)
+    lane_luts = _tables_stage(lab6, clip_limit, tiles_y, tiles_x, area)
+    rgbp = _apply_stage(lab6, lane_luts, interpret)
+    return rgbp.reshape(b, 3, h, w)
+
+
+def _fwd_stage(rgb6: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """[b, 3, ncy, hh, ncx, hw] u8 sRGB -> [3, b, ncy, hh, ncx, hw] u8 Lab.
+
+    The Lab intermediate is CHANNEL-LEADING [3, b, ...] so the histogram stage
+    reads the L plane as one contiguous slice (a [b, 3, ...] layout makes it
+    a strided gather + relayout, measured ~1 ms/batch slower).
+    """
+    b, _, ncy, hh, ncx, hw = rgb6.shape
     dg_vals = srgb_to_linear(jnp.arange(HIST_SIZE, dtype=jnp.float32) / 255.0)
     dg_tab = dg_vals.reshape(2, 128)
 
-    # Lab intermediate is CHANNEL-LEADING [3, b, ...] so the histogram stage
-    # reads the L plane as one contiguous slice (a [b, 3, ...] layout makes it
-    # a strided gather + relayout, measured ~1 ms/batch slower).
     fastmath = not interpret  # exact transcendental math under the interpreter
-    # Bands per program: many tiny band programs are dispatch-overhead-bound
-    # (128 programs measured ~12 us each vs ~1 us of roofline work); batching
-    # bands amortizes it. Even nb keeps the apply kernel's cell-y parity
-    # static per unrolled band. nb=4 at 1080p keeps each program's in+out
-    # blocks + unrolled f32 temporaries inside the v5e 16 MB scoped VMEM
-    # (nb=8 measured 784 KB over).
-    nb = next((d for d in (4, 2, 1) if ncy % d == 0), 1)
-    lab6 = pl.pallas_call(
+    nb = _pick_bands(ncy)
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, hh, hw, fastmath, nb),
         grid=(b, ncy // nb),
         in_specs=[
@@ -342,10 +348,27 @@ def clahe_rgb_u8_planar_gather(
         interpret=interpret,
     )(rgb6, dg_tab)
 
-    # The barrier keeps XLA from interleaving the hist/table computation into
-    # the kernels' schedules (measured 5.03 -> 4.16 ms/batch, perf_lab decomp
-    # E vs E2): each stage compiles to its own clean program region.
-    lab6 = jax.lax.optimization_barrier(lab6)
+
+def _pick_bands(ncy: int) -> int:
+    """Half-tile-row bands per kernel program. Even counts keep the apply
+    kernel's cell-y parity static per unrolled band; nb=4 at 1080p keeps each
+    program's in+out blocks + unrolled f32 temporaries inside the v5e 16 MB
+    scoped VMEM (nb=8 measured 784 KB over)."""
+    return next((d for d in (4, 2, 1) if ncy % d == 0), 1)
+
+
+def _tables_stage(
+    lab6: jnp.ndarray, clip_limit: float, tiles_y: int, tiles_x: int, area: int
+) -> jnp.ndarray:
+    """Histograms + OpenCV LUT build + byte-packed neighbour lane tables.
+
+    NOTE: callers put an optimization_barrier between the fwd kernel and this
+    stage — it keeps XLA from interleaving the hist/table computation into
+    the kernels' schedules (measured 5.03 -> 4.16 ms/batch, perf_lab decomp
+    E vs E2): each stage compiles to its own clean program region.
+    """
+    _, b, ncy, hh, ncx, hw = lab6.shape
+    h, w = ncy * hh, ncx * hw
     hist = _hist_planar(lab6[0].reshape(b, h, w), tiles_y, tiles_x)
     luts = _luts_from_hist(hist, clip_limit, area).astype(jnp.float32)
     luts16 = luts.reshape(b, tiles_y, tiles_x, HIST_SIZE)
@@ -366,16 +389,24 @@ def clahe_rgb_u8_planar_gather(
     # halves: entry k*128+e of x-cell c at [.., k, c, e]. One packed gather
     # replaces four u8 gathers; same HBM bytes as four u8 tables.
     packed = lut4[:, :, 0] | (lut4[:, :, 1] << 8) | (lut4[:, :, 2] << 16) | (lut4[:, :, 3] << 24)
-    lane_luts = jax.lax.optimization_barrier(
+    return jax.lax.optimization_barrier(
         packed.reshape(b, ncy, ncx, 2, 128).transpose(0, 1, 3, 2, 4)
     )
 
+
+def _apply_stage(
+    lab6: jnp.ndarray, lane_luts: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """LUT apply + inverse colorspace over row bands: [3, b, ncy, hh, ncx, hw]
+    u8 Lab + packed lane tables -> [b, 3, ncy, hh, ncx, hw] u8 RGB."""
+    _, b, ncy, hh, ncx, hw = lab6.shape
+    fastmath = not interpret
+    nb = _pick_bands(ncy)
     wx = _blend_weights(hw)  # [2, hw] f32
     wy = _blend_weights(hh)  # [2, hh] f32
     xa_tab = jnp.asarray(wx[np.arange(ncx) % 2])  # [ncx, hw]
     ya_tab = jnp.asarray(np.ascontiguousarray(wy.T))  # [hh, 2]
 
-    # ---- Pallas: LUT apply + inverse colorspace over row bands ----
     rgbp = pl.pallas_call(
         functools.partial(_apply_kernel, hh, hw, fastmath, nb),
         grid=(b, ncy // nb),
@@ -401,8 +432,7 @@ def clahe_rgb_u8_planar_gather(
         out_shape=jax.ShapeDtypeStruct((b, 3, ncy, hh, ncx, hw), jnp.uint8),
         interpret=interpret,
     )(lab6, lane_luts, xa_tab, ya_tab)
-
-    return rgbp.reshape(b, 3, h, w)
+    return rgbp
 
 
 @functools.partial(

@@ -18,6 +18,13 @@ Kernels:
 - `dec1_chain`: d2 -> 1x1 -> 3x3 -> 3x3 (+x1p residual) -> 3x3 tail — the
   dec1 UpBlock + residual_conv chain (reference: models/model.py:254-274 +
   :345-349), BN affines pre-folded into kernels/biases by the caller.
+- `fam_tail_stats` / `fam_tail_apply`: the FAM attention tail's elementwise
+  stages (reference: models/model.py:60-97 — CA scale, per-pixel channel
+  mean/max for SA, final SA scale) on the PACKED [*, 4*32] tensor. XLA runs
+  these as ~7 ms of relayout-bound passes at 1080p (the [*, 4, 32] block
+  reshapes force lane regrouping, scripts/probe_tail.py); each kernel is one
+  clean read->write pass with the 32-lane-group reductions/broadcasts done
+  by static lane slices in VMEM.
 
 Zero-padding semantics: each stage's 'SAME' zero padding is reproduced by
 masking the intermediate activations to zero outside the true image before
@@ -268,3 +275,96 @@ def dec1_chain(d2, x1p, k_up, b_up, k_c1, b_c1, k_c2, b_c2, k_rc, b_rc,
         k_rc.astype(d2.dtype), f32b(b_rc, 128),
     )
     return out
+
+
+def _pick_rows(h: int, w: int):
+    """Rows per block, bounded so the kernel's vreg-padded f32 temporaries
+    (the four per-quadrant 32-lane slices pad to full 128-lane vregs, ~9x the
+    block bytes) stay inside the v5e 16 MB scoped VMEM."""
+    cap = max(12_000_000 // (w * 128 * 4 * 9), 1)
+    return next((d for d in (8, 4, 2, 1) if d <= cap and h % d == 0), None)
+
+
+def fam_tail_supported(x_shape) -> bool:
+    _, h, w, c = x_shape
+    return c == 128 and w % 8 == 0 and _pick_rows(h, w) is not None
+
+
+def _ca8(ca_vec):
+    """[B, 128] f32 -> [B, 8, 128] (sublane-replicated for the VMEM block)."""
+    v = jnp.asarray(ca_vec, jnp.float32)
+    return jnp.broadcast_to(v[:, None, :], (v.shape[0], 8, 128))
+
+
+def _tail_stats_kernel(x_ref, ca_ref, o_ref):
+    """sa_in tile [bh, W, 8] = per-quadrant channel mean/max of x * ca.
+
+    x_ref: [bh, W, 128] bf16 (packed FAM fusion output, quadrant-major
+    channel blocks of 32); ca_ref: [8, 128] f32 (sigmoid channel attention,
+    quadrant-tiled, sublane-replicated); o_ref: [bh, W, 8] = (a0,m0,a1,m1,a2,m2,a3,m3)
+    matching jnp.stack([avg, max], -1).reshape(..., 8).
+    """
+    x = x_ref[...] * ca_ref[0][None, None, :].astype(x_ref.dtype)
+    parts = []
+    for q in range(4):
+        sl = x[:, :, 32 * q : 32 * (q + 1)].astype(jnp.float32)
+        parts.append(jnp.mean(sl, axis=-1, keepdims=True))
+        parts.append(jnp.max(sl, axis=-1, keepdims=True))
+    o_ref[...] = jnp.concatenate(parts, axis=-1).astype(o_ref.dtype)
+
+
+def _tail_apply_kernel(x_ref, ca_ref, sa_ref, o_ref):
+    """out tile = x * ca * sa_broadcast (sa per quadrant -> its 32 lanes)."""
+    x = x_ref[...] * ca_ref[0][None, None, :].astype(x_ref.dtype)
+    sa = sa_ref[...].astype(x.dtype)  # [bh, W, 4]
+    rep = jnp.concatenate(
+        [jnp.broadcast_to(sa[:, :, q : q + 1], (*x.shape[:2], 32)) for q in range(4)],
+        axis=-1,
+    )
+    o_ref[...] = x * rep
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fam_tail_stats(x, ca_vec, interpret: bool = False):
+    """[B,H,W,128] x, [B,128] ca -> [B,H,W,8] SA conv input (mean|max pairs)."""
+    b, h, w, _ = x.shape
+    bh = _pick_rows(h, w)
+    return pl.pallas_call(
+        _tail_stats_kernel,
+        grid=(b, h // bh),
+        in_specs=[
+            pl.BlockSpec((None, bh, w, 128), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # ca replicated to 8 sublanes: Mosaic requires the block's
+            # second-minor dim be a multiple of 8 (or the full array dim).
+            pl.BlockSpec((None, 8, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, bh, w, 8), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, 8), x.dtype),
+        interpret=interpret,
+    )(x, _ca8(ca_vec))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fam_tail_apply(x, ca_vec, sa, interpret: bool = False):
+    """[B,H,W,128] x, [B,128] ca, [B,H,W,4] sa -> x * ca * sa (per quadrant)."""
+    b, h, w, _ = x.shape
+    bh = _pick_rows(h, w)
+    return pl.pallas_call(
+        _tail_apply_kernel,
+        grid=(b, h // bh),
+        in_specs=[
+            pl.BlockSpec((None, bh, w, 128), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bh, w, 4), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, bh, w, 128), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, 128), x.dtype),
+        interpret=interpret,
+    )(x, _ca8(ca_vec), sa)

@@ -591,6 +591,62 @@ def run_prefix2():
     measure("hist+tables", tables_f32, labp)
 
 
+@exp("gdecomp")
+def run_gdecomp():
+    """Current-pipeline stage decomposition via the module's stage functions."""
+    import retinex_tpu.ops.clahe_gather as cg
+
+    rng = np.random.default_rng(0)
+    b = 8
+    xs = [jnp.asarray(rng.random((b, H, W, 3), dtype=np.float32) * 0.4) for _ in range(4)]
+    u8n = [jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8) for x in xs]
+    xp = [v.transpose(0, 3, 1, 2) for v in u8n]
+    rgb6 = [v.reshape(b, 3, NCY, HH, NCX, HW) for v in xp]
+
+    @jax.jit
+    def quantize_f32(x):
+        return jnp.clip(jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
+
+    @jax.jit
+    def entry_transpose(v):
+        return v.transpose(0, 3, 1, 2)
+
+    @jax.jit
+    def fwd_only(r6):
+        return cg._fwd_stage(r6)
+
+    labs = [fwd_only(r) for r in rgb6]
+
+    @jax.jit
+    def tables_only(l6):
+        return cg._tables_stage(l6, 2.0, TILES, TILES, AREA)
+
+    luts = [tables_only(l) for l in labs]
+
+    @jax.jit
+    def apply_only(args):
+        l6, lt = args
+        return cg._apply_stage(l6, lt)
+
+    outs = [apply_only(a) for a in zip(labs, luts)]
+
+    @jax.jit
+    def exit_transpose(rp):
+        return rp.reshape(b, 3, H, W).transpose(0, 2, 3, 1)
+
+    @jax.jit
+    def dequant(rp):
+        return rp.reshape(b, 3, H, W).transpose(0, 2, 3, 1).astype(jnp.float32) / 255.0
+
+    measure("quantize f32->u8 (nhwc)", quantize_f32, xs)
+    measure("entry transpose nhwc->planar", entry_transpose, u8n)
+    measure("fwd kernel", fwd_only, rgb6)
+    measure("tables (hist+lut+pack)", tables_only, labs)
+    measure("apply kernel", apply_only, list(zip(labs, luts)))
+    measure("exit transpose planar->nhwc", exit_transpose, outs)
+    measure("dequant to f32 nhwc", dequant, outs)
+
+
 @exp("batchscale")
 def run_batchscale():
     from retinex_tpu.ops.clahe_gather import clahe_rgb_u8_gather
@@ -954,7 +1010,41 @@ def run_netstages():
 
     @jax.jit
     def fam_only(f1p):
-        return pk._fam_packed(f1p)
+        return pk._fam_packed(f1p, pk.fam1)
+
+    import os
+
+    @jax.jit
+    def fam_xla_tail(f1p):
+        os.environ["RETINEX_NO_FUSED"] = "1"
+        try:
+            return pk._fam_packed(f1p, pk.fam1)
+        finally:
+            del os.environ["RETINEX_NO_FUSED"]
+
+    from retinex_tpu.ops.fused_blocks import fam_tail_apply, fam_tail_stats
+
+    @jax.jit
+    def tail_kernels_only(f1p):
+        ca_vec = jnp.ones((f1p.shape[0], 128), jnp.float32) * 0.5
+        sa_in = fam_tail_stats(f1p, ca_vec)
+        sa = jax.nn.sigmoid(sa_in[..., :4])
+        return fam_tail_apply(f1p, ca_vec, sa)
+
+    @jax.jit
+    def scale2_packed_only(x):
+        from retinex_tpu.ops.s2d import s2d as _s2d
+        x2s = resize_scale_local(x, 0.5)
+        x2p = _s2d(x2s.astype(pk.model.dtype))
+        pooled = x2p.reshape(*x2p.shape[:3], 4, 3).max(axis=3)
+        from retinex_tpu.models.packed_inference import _conv_auto as _ca
+        f2p = _ca(_s2d(pooled), pk.k_s2conv, bias=pk.b_s2conv, relu=True)
+        return pk._fam_packed(f2p, pk.fam2)
+
+    @jax.jit
+    def scale2_flax_only(x):
+        x2s = resize_scale_local(x, 0.5)
+        return model.apply(variables, x2s, method=lambda m, a: m.scale2(a))
 
     @jax.jit
     def scale23(x):
@@ -977,7 +1067,11 @@ def run_netstages():
     measure("ie full-res stages", ie_fullres, xps, batch=batch)
     measure("ie enc1+middle", ie_middle, xps, batch=batch)
     measure("scale1 conv", scale1_conv, xps, batch=batch)
-    measure("scale1 FAM", fam_only, f1s, batch=batch)
+    measure("scale1 FAM (fused tail)", fam_only, f1s, batch=batch)
+    measure("scale1 FAM (xla tail)", fam_xla_tail, f1s, batch=batch)
+    measure("tail kernels only", tail_kernels_only, f1s, batch=batch)
+    measure("scale2 packed", scale2_packed_only, inputs, batch=batch)
+    measure("scale2 flax", scale2_flax_only, inputs, batch=batch)
     measure("scale2/3 towers+resizes", scale23, inputs, batch=batch)
 
 

@@ -64,3 +64,32 @@ def test_dec1_chain_matches_xla():
         d2, x1p, ku, bu, ks[0], bs[0], ks[1], bs[1], ks[2], bs[2], interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fam_tail_kernels_match_xla():
+    from retinex_tpu.ops.fused_blocks import (
+        fam_tail_apply,
+        fam_tail_stats,
+        fam_tail_supported,
+    )
+
+    rng = np.random.default_rng(2)
+    b, h, w, c = 2, 8, 64, 32
+    out = jnp.asarray(np.abs(rng.standard_normal((b, h, w, 4 * c))) * 0.4, jnp.float32)
+    ca = jnp.asarray(jax.nn.sigmoid(jnp.asarray(rng.standard_normal((b, c)), jnp.float32)))
+    ca_vec = jnp.tile(ca, 4)
+    assert fam_tail_supported(out.shape)
+
+    # reference tail math (models/packed_inference._fam_packed fallback branch)
+    scaled = out * ca_vec[:, None, None, :]
+    blocks = scaled.reshape(b, h, w, 4, c)
+    want_sa_in = jnp.stack(
+        [blocks.mean(axis=-1), blocks.max(axis=-1)], axis=-1
+    ).reshape(b, h, w, 8)
+    got_sa_in = fam_tail_stats(out, ca_vec, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_sa_in), np.asarray(want_sa_in), atol=1e-5)
+
+    sa = jnp.asarray(jax.nn.sigmoid(jnp.asarray(rng.standard_normal((b, h, w, 4)), jnp.float32)))
+    want = (blocks * sa[..., None]).reshape(b, h, w, 4 * c)
+    got = fam_tail_apply(out, ca_vec, sa, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
