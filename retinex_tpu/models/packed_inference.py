@@ -6,8 +6,11 @@ faster wall-clock. This module evaluates the SAME trained parameters with the
 full-resolution stages — IENet input conv, enc1, dec1, residual head, the
 scale-1 tower with its FAM, fusion and output head — rewritten in packed space
 (exact up to float reassociation; verified vs model.apply in
-tests/test_packed_inference.py). The /2-and-below body (enc2..dec2, the
-scale-2/3 towers) runs through the regular Flax modules.
+tests/test_packed_inference.py). The /2 stages (enc2, dec2: 64-channel convs
+at H/2 x W/2) are packed the same way to 256-wide convs at /4; the /4-and-
+below body (enc3..dec3, ASPP) and the scale-3 tower run through the regular
+Flax modules. Packed scale2 exists behind RETINEX_PACKED_SCALE2 (measured
+slightly slower than Flax at 1/4 resolution).
 
 Usage:
     packed = PackedRetinex(model, variables)
@@ -84,6 +87,19 @@ def _pack_fam(fam):
         ),
         "ca": fam,
     }
+
+
+def _pack_convtranspose2(kernel):
+    """flax ConvTranspose k2s2: out(2I+c,2J+d) = sum_i K[1-c,1-d,i,o] x[I,J,i]
+    (verified numerically) -> packed pointwise with flipped quadrants:
+    [2,2,Cin,Cout] -> [1,1,Cin,4*Cout]."""
+    kup = np.asarray(kernel, np.float32)
+    cin, cout = kup.shape[2], kup.shape[3]
+    kup_p = np.zeros((1, 1, cin, 4 * cout), np.float32)
+    for c in range(2):
+        for d in range(2):
+            kup_p[0, 0, :, (c * 2 + d) * cout : (c * 2 + d + 1) * cout] = kup[1 - c, 1 - d]
+    return jnp.asarray(kup_p)
 
 
 def _conv_auto(x, packed_kernel, bias=None, relu=False):
@@ -175,15 +191,7 @@ class PackedRetinex:
         self.k_enc1_short = pack_kernel_s2(enc1["shortcut_conv"]["kernel"])
 
         dec1 = ie["dec1"]
-        # flax ConvTranspose k2s2: out(2I+c,2J+d) = sum_i K[1-c,1-d,i,o] x[I,J,i]
-        # (verified numerically) -> packed pointwise with flipped quadrants.
-        kup = np.asarray(dec1["up"]["kernel"], np.float32)  # [2,2,in,out]
-        cin, cout = kup.shape[2], kup.shape[3]
-        kup_p = np.zeros((1, 1, cin, 4 * cout), np.float32)
-        for c in range(2):
-            for d in range(2):
-                kup_p[0, 0, :, (c * 2 + d) * cout : (c * 2 + d + 1) * cout] = kup[1 - c, 1 - d]
-        self.k_dec1_up = jnp.asarray(kup_p)
+        self.k_dec1_up = _pack_convtranspose2(dec1["up"]["kernel"])
         self.b_dec1_up = dec1["up"]["bias"]
         self.k_dec1_c1 = pack_kernel_s1(dec1["conv1"]["Conv_0"]["kernel"])
         self.b_dec1_c1 = dec1["conv1"]["Conv_0"]["bias"]
@@ -192,6 +200,19 @@ class PackedRetinex:
 
         self.k_rescv = pack_kernel_s1(ie["residual_conv"]["kernel"])
         self.b_rescv = ie["residual_conv"]["bias"]
+
+        # The /2 stages (enc2, dec2: 64-channel convs at H/2 x W/2) packed the
+        # same way: s2d(x2) -> 256-wide convs at /4.
+        enc2 = ie["enc2"]
+        self.k_enc2_conv1 = pack_kernel_s2(enc2["conv1"]["kernel"])
+        self.k_enc2_short = pack_kernel_s2(enc2["shortcut_conv"]["kernel"])
+        dec2 = ie["dec2"]
+        self.k_dec2_up = _pack_convtranspose2(dec2["up"]["kernel"])
+        self.b_dec2_up = dec2["up"]["bias"]
+        self.k_dec2_c1 = pack_kernel_s1(dec2["conv1"]["Conv_0"]["kernel"])
+        self.b_dec2_c1 = dec2["conv1"]["Conv_0"]["bias"]
+        self.k_dec2_c2 = pack_kernel_s1(dec2["conv2"]["Conv_0"]["kernel"])
+        self.b_dec2_c2 = dec2["conv2"]["Conv_0"]["bias"]
 
         # dec1 chain with the BN affines folded into the packed conv weights
         # (conv -> *scale + bias == conv with scaled kernel and shifted bias),
@@ -271,6 +292,54 @@ class PackedRetinex:
             sc, bi = _bn_affine(ie_p[name]["BatchNorm_0"], ie_s[name]["BatchNorm_0"])
             y = jax.nn.relu(_affine(y, sc, bi, tile=True))
         return y
+
+    def _enc2(self, x2p):
+        """enc2 on packed [B,H/4,W/4,256] input -> unpacked [B,H/4,W/4,128]."""
+        ie_p, ie_s = self.p["ie_net"]["enc2"], self.s["ie_net"]["enc2"]
+        if self.use_preact:
+            sc, bi = _bn_affine(ie_p["bn1"], ie_s["bn1"])
+            pre = jax.nn.relu(_affine(x2p, sc, bi, tile=True))
+            short = _conv_auto(pre, self.k_enc2_short)
+            ssc, sbi = _bn_affine(ie_p["shortcut_bn"], ie_s["shortcut_bn"])
+            short = _affine(short, ssc, sbi)
+            y = _conv_auto(pre, self.k_enc2_conv1)
+            sc2, bi2 = _bn_affine(ie_p["bn2"], ie_s["bn2"])
+            y = jax.nn.relu(_affine(y, sc2, bi2))
+            y = _conv(y, ie_p["conv2"]["kernel"])
+            return y + short
+        else:
+            y = _conv_auto(x2p, self.k_enc2_conv1)
+            sc1, bi1 = _bn_affine(ie_p["bn1"], ie_s["bn1"])
+            y = jax.nn.relu(_affine(y, sc1, bi1))
+            y = _conv(y, ie_p["conv2"]["kernel"])
+            sc2, bi2 = _bn_affine(ie_p["bn2"], ie_s["bn2"])
+            y = _affine(y, sc2, bi2)
+            short = _conv_auto(x2p, self.k_enc2_short)
+            ssc, sbi = _bn_affine(ie_p["shortcut_bn"], ie_s["shortcut_bn"])
+            short = _affine(short, ssc, sbi)
+            return jax.nn.relu(y + short)
+
+    def _dec2(self, d3):
+        """dec2 UpBlock from [B,H/4,W/4,128] -> packed /2 output [*, 256]."""
+        ie_p, ie_s = self.p["ie_net"]["dec2"], self.s["ie_net"]["dec2"]
+        y = _conv(d3, self.k_dec2_up, _tile4(self.b_dec2_up))
+        for kp, bias, name in (
+            (self.k_dec2_c1, self.b_dec2_c1, "conv1"),
+            (self.k_dec2_c2, self.b_dec2_c2, "conv2"),
+        ):
+            y = _conv_auto(y, kp, bias=bias)
+            sc, bi = _bn_affine(ie_p[name]["BatchNorm_0"], ie_s[name]["BatchNorm_0"])
+            y = jax.nn.relu(_affine(y, sc, bi, tile=True))
+        return y
+
+    def _middle_packed(self, x2):
+        """middle (enc2 -> inner -> dec2 + skip) with the /2 stages packed."""
+        x2p = s2d(x2)
+        x3 = self._enc2(x2p)
+        d3 = self.model.apply(
+            self.variables, x3, False, method=lambda m, a, t: m.ie_net.inner(a, t)
+        )
+        return d2s(self._dec2(d3) + x2p)
 
     def _fam_packed(self, xp, fw, c=32):
         """EnhancedFAM on packed [*, 4c] input; fw = a `_pack_fam` bundle."""
@@ -363,7 +432,12 @@ class PackedRetinex:
 
         x1p = _conv_auto(xp, self.k_input, bias=self.b_input, relu=True)
         x2 = self._enc1(x1p)
-        d2 = model.apply(variables, x2, False, method=lambda m, a, t: m.ie_net.middle(a, t))
+        if x2.shape[1] % 2 == 0 and x2.shape[2] % 2 == 0:
+            d2 = self._middle_packed(x2)
+        else:
+            d2 = model.apply(
+                variables, x2, False, method=lambda m, a, t: m.ie_net.middle(a, t)
+            )
         if use_fused:
             r = dec1_chain(
                 d2, x1p,

@@ -56,13 +56,19 @@ class ResidualIENet(nn.Module):
         """enc2 -> bottleneck -> dec3/dec2 with skips: the /2-and-below body
         (everything except the full-resolution stages)."""
         x3 = self.enc2(x2, train)
+        d3 = self.inner(x3, train)
+        return self.dec2(d3, train) + x2
+
+    def inner(self, x3, train: bool = False):
+        """enc3 -> bottleneck (+ASPP) -> dec3 with skip: the /4-and-below
+        body (models/packed_inference.py runs enc2/dec2 s2d-packed and calls
+        this for the rest)."""
         x4 = self.enc3(x3, train)
         x5 = self.bottleneck1(x4, train)
         if self.use_aspp:
             x5 = self.aspp(x5, train)
         x5 = self.bottleneck2(x5, train)
-        d3 = self.dec3(x5, train) + x3
-        return self.dec2(d3, train) + x2
+        return self.dec3(x5, train) + x3
 
     def __call__(self, x, train: bool = False):
         x1 = nn.relu(self.input_layer(x))

@@ -118,9 +118,9 @@ def _apply_kernel(hh, hw, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_r
     exactly the per-sublane gather the hardware supports.
 
     lab_ref:  [3, nb, hh, ncx, hw] uint8 Lab
-    luts_ref: [nb, 2, ncx, 128] int32 — the 4 neighbour LUTs byte-packed into
+    luts_ref: [nb, ncx, 2, 128] int32 — the 4 neighbour LUTs byte-packed into
               one word per entry: word = l00 | l01<<8 | l10<<16 | l11<<24,
-              entry k*128+e of x-cell c at [k, c, e]. One packed lookup (2
+              entry k*128+e of x-cell c at [c, k, e]. One packed lookup (2
               gathers + 1 select) replaces 4 lookups (8 gathers + 4 selects).
     xa_ref:   [ncx, hw] f32 — xa blend weight (x-cell parity baked in)
     ya_ref:   [hh, 2] f32 — ya by (y offset, cell-y parity)
@@ -151,8 +151,8 @@ def _apply_kernel(hh, hw, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_r
         hi_side = v128 >= 128
         idx128 = jnp.where(hi_side, v128 - 128, v128)
 
-        lo_t = jnp.broadcast_to(luts_ref[r, 0][None], (hh, ncx, 128)).reshape(shape128)
-        hi_t = jnp.broadcast_to(luts_ref[r, 1][None], (hh, ncx, 128)).reshape(shape128)
+        lo_t = jnp.broadcast_to(luts_ref[r, :, 0][None], (hh, ncx, 128)).reshape(shape128)
+        hi_t = jnp.broadcast_to(luts_ref[r, :, 1][None], (hh, ncx, 128)).reshape(shape128)
         g_lo = jnp.take_along_axis(lo_t, idx128, axis=1)
         g_hi = jnp.take_along_axis(hi_t, idx128, axis=1)
         word = jnp.where(hi_side, g_hi, g_lo)[:, :hw]
@@ -370,28 +370,43 @@ def _tables_stage(
     _, b, ncy, hh, ncx, hw = lab6.shape
     h, w = ncy * hh, ncx * hw
     hist = _hist_planar(lab6[0].reshape(b, h, w), tiles_y, tiles_x)
-    luts = _luts_from_hist(hist, clip_limit, area).astype(jnp.float32)
-    luts16 = luts.reshape(b, tiles_y, tiles_x, HIST_SIZE)
+    luts = _luts_from_hist(hist, clip_limit, area)  # [b, ty, tx, 256] int32
+    luts_flat = luts.reshape(b, tiles_y * tiles_x, HIST_SIZE)
 
+    # Per-cell neighbour tiles as four STATIC selection MATMULS ordered
+    # (cy, cx) — the output layout [b, ncy, ncx, 2, 128] is then a free
+    # reshape. XLA lowers both jnp.take and the earlier stack + double-gather
+    # + transpose formulation to serial-loop gathers on these lane-major
+    # [*, 256] tensors (~1.4 ms/batch, perf_lab gdecomp); a constant 0/1
+    # selection matrix turns each into one tiny MXU dot (exact: LUT values
+    # <= 255 in f32).
     t0y, t1y = _neighbor_index_tables(tiles_y)
     t0x, t1x = _neighbor_index_tables(tiles_x)
-    lut4 = jnp.stack(
-        [
-            luts16[:, t0y][:, :, t0x],
-            luts16[:, t0y][:, :, t1x],
-            luts16[:, t1y][:, :, t0x],
-            luts16[:, t1y][:, :, t1x],
-        ],
-        axis=2,
-    ).astype(jnp.int32)  # [b, ncy, 4, ncx, 256], values <= 255
+    n_cells = 4 * tiles_y * tiles_x
+    n_tiles = tiles_y * tiles_x
+
+    def sel_matrix(ty, tx):
+        flat = (np.asarray(ty)[:, None] * tiles_x + np.asarray(tx)[None, :]).reshape(-1)
+        s = np.zeros((n_tiles, n_cells), np.float32)
+        s[flat, np.arange(n_cells)] = 1.0
+        return jnp.asarray(s)
+
+    lf = luts_flat.astype(jnp.float32)
+
+    def select(s):
+        out = jnp.einsum("bte,tc->bce", lf, s, preferred_element_type=jnp.float32)
+        return out.astype(jnp.int32)
+
+    l00 = select(sel_matrix(t0y, t0x))
+    l01 = select(sel_matrix(t0y, t1x))
+    l10 = select(sel_matrix(t1y, t0x))
+    l11 = select(sel_matrix(t1y, t1x))
     # Byte-pack the 4 neighbour LUTs into one int32 word per entry (they are
     # always looked up at the SAME pixel value), then split into two 128-entry
-    # halves: entry k*128+e of x-cell c at [.., k, c, e]. One packed gather
+    # halves: entry k*128+e of x-cell c at [.., c, k, e]. One packed gather
     # replaces four u8 gathers; same HBM bytes as four u8 tables.
-    packed = lut4[:, :, 0] | (lut4[:, :, 1] << 8) | (lut4[:, :, 2] << 16) | (lut4[:, :, 3] << 24)
-    return jax.lax.optimization_barrier(
-        packed.reshape(b, ncy, ncx, 2, 128).transpose(0, 1, 3, 2, 4)
-    )
+    packed = l00 | (l01 << 8) | (l10 << 16) | (l11 << 24)
+    return jax.lax.optimization_barrier(packed.reshape(b, ncy, ncx, 2, 128))
 
 
 def _apply_stage(
@@ -417,7 +432,7 @@ def _apply_stage(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, nb, 2, ncx, 128),
+                (None, nb, ncx, 2, 128),
                 lambda i, j: (i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),

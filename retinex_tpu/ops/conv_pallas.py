@@ -148,3 +148,214 @@ def conv2d_pallas(
         interpret=interpret,
     )(xp, kernel.astype(x.dtype), bias_arr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Narrow-channel (Cin <= 64) implicit-im2col convolution.
+#
+# The packed (s2d) rewrite buys MXU width at 4x nominal FLOPs; for a 3x3/32ch
+# conv XLA runs the packed form at ~71 TF/s = ~18 TF/s on the LOGICAL flops.
+# Building the kh*kw*Cin patch rows IN VMEM and hitting the MXU with a single
+# K=kh*kw*Cin GEMM costs the logical flops only: K=288 spans 2.25 MXU K-tiles
+# (75% K utilization) so the ceiling is ~197*0.75*(Cout/128) TF/s — above the
+# packed path for Cout >= 32 with no 4x overhead. (The XLA-level im2col in
+# ops/s2d.conv_im2col materializes the patch tensor in HBM — 9x the bytes —
+# and measured 44 ms for this op; in VMEM the patches never leave the core.)
+# ---------------------------------------------------------------------------
+
+
+def conv_narrow_supported(x_shape, kernel_shape, dilation: int = 1) -> bool:
+    """Currently always False on real TPUs: Mosaic HBM DMA requires the minor
+    (channel) dim tiled to 128, so sub-128-channel arrays cannot be manually
+    DMA'd ("Slice shape along dimension 3 must be aligned to tiling (128)").
+    The kernel is exact under the interpreter (tests); the production path
+    achieves the same single-GEMM schedule on PACKED tensors instead
+    (`conv2d_pallas_im2col`, K=kp*kp*128 — fully lane-aligned)."""
+    _, h, w, cin = x_shape
+    kh, kw, kcin, cout = kernel_shape
+    if kcin != cin or cin > 64 or cin % 8 or cout % 32:
+        return False
+    if kh != kw or kh not in (3, 5) or dilation not in (1, 2):
+        return False
+    return h >= 8 and w >= 128 and _divisors_under(w, 512) % 8 == 0
+
+
+def _conv_narrow_kernel(bh, bw, kh, kw, dil, relu, x_ref, k_ref, b_ref, o_ref,
+                        xs, sem):
+    """One program: output tile [bh, bw, Cout]; patches built in VMEM.
+
+    x_ref: [B, Hp, Wp, Cin] HBM (pre-padded by (kh//2)*dil each side);
+    k_ref: [kh*kw*Cin, Cout] VMEM (tap-major rows, matching the patch
+    concatenation order); xs: VMEM [bh + (kh-1)*dil, sw, Cin].
+    """
+    ib, ih, iw = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    cin = xs.shape[-1]
+    cout = o_ref.shape[-1]
+
+    copy = pltpu.make_async_copy(
+        x_ref.at[ib, pl.ds(ih * bh, bh + (kh - 1) * dil), pl.ds(iw * bw, xs.shape[1]), :],
+        xs, sem,
+    )
+    copy.start()
+    copy.wait()
+
+    patches = jnp.concatenate(
+        [
+            xs[u * dil : u * dil + bh, v * dil : v * dil + bw, :].reshape(bh * bw, cin)
+            for u in range(kh)
+            for v in range(kw)
+        ],
+        axis=-1,
+    )
+    acc = jax.lax.dot_general(
+        patches, k_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = acc + b_ref[0][None, :]
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    o_ref[...] = acc.astype(o_ref.dtype).reshape(bh, bw, cout)
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "dilation", "interpret"))
+def conv2d_narrow(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    relu: bool = False,
+    dilation: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Narrow-Cin conv, torch-parity 'SAME' (pad (k//2)*dilation), stride 1.
+
+    x: [B, H, W, Cin<=64]; kernel: [kh, kw, Cin, Cout]; f32 accumulation.
+    """
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    r = (kh // 2) * dilation
+
+    bh = _divisors_under(h, 16)
+    # patches [bh*bw, kh*kw*cin] bf16 + f32 acc dominate VMEM; keep ~6 MB.
+    bw_target = max(128, 3_000_000 // (bh * kh * kw * cin * 2))
+    bw = _divisors_under(w, bw_target)
+    sw = -(-(bw + (kw - 1) * dilation) // 8) * 8
+    wp = (w // bw - 1) * bw + sw
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, wp - w - r), (0, 0)))
+
+    k2d = kernel.reshape(kh * kw * cin, cout)
+    bias_arr = jnp.zeros((1, cout), jnp.float32) if bias is None else bias.reshape(1, cout)
+    out = pl.pallas_call(
+        functools.partial(_conv_narrow_kernel, bh, bw, kh, kw, dilation, relu),
+        grid=(b, h // bh, w // bw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, bh, bw, cout), lambda ib, ih, iw: (ib, ih, iw, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bh + (kh - 1) * dilation, sw, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * kh * kw * cin * cout,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, k2d.astype(x.dtype), bias_arr)
+    return out
+
+
+def _conv_im2col_kernel(bh, bw, kh, kw, relu, x_ref, k_ref, b_ref, o_ref, xs, sem):
+    """Like `_conv_kernel` but one K=kh*kw*Cin GEMM over VMEM-built patches.
+
+    The per-tap schedule issues kh*kw dots of K=Cin each (weight reload per
+    tap); concatenating the shifted slices on lanes (all 128-aligned for
+    packed tensors) feeds the MXU one long-K contraction instead.
+    k_ref: [kh*kw*Cin, Cout] (tap-major rows).
+    """
+    ib, ih, iw = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    cin = xs.shape[-1]
+    cout = o_ref.shape[-1]
+
+    copy = pltpu.make_async_copy(
+        x_ref.at[ib, pl.ds(ih * bh, bh + kh - 1), pl.ds(iw * bw, xs.shape[1]), :],
+        xs, sem,
+    )
+    copy.start()
+    copy.wait()
+
+    patches = jnp.concatenate(
+        [
+            xs[u : u + bh, v : v + bw, :].reshape(bh * bw, cin)
+            for u in range(kh)
+            for v in range(kw)
+        ],
+        axis=-1,
+    )
+    acc = jax.lax.dot_general(
+        patches, k_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = acc + b_ref[0][None, :]
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    o_ref[...] = acc.astype(o_ref.dtype).reshape(bh, bw, cout)
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+def conv2d_pallas_im2col(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    relu: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`conv2d_pallas` with the single-GEMM im2col schedule (same scope)."""
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    pad_h = (kh // 2, kh - 1 - kh // 2)
+    pad_w = (kw // 2, kw - 1 - kw // 2)
+
+    bh = _divisors_under(h, 16)
+    # patches [bh*bw, kh*kw*cin] bf16 dominates VMEM; keep it ~4 MB.
+    bw_target = max(64, 2_000_000 // (bh * kh * kw * cin * 2))
+    bw = _divisors_under(w, bw_target)
+    sw = -(-(bw + kw - 1) // 8) * 8
+    wp = (w // bw - 1) * bw + sw
+    xp = jnp.pad(x, ((0, 0), pad_h, (pad_w[0], wp - w - pad_w[0]), (0, 0)))
+
+    k2d = kernel.reshape(kh * kw * cin, cout)
+    bias_arr = jnp.zeros((1, cout), jnp.float32) if bias is None else bias.reshape(1, cout)
+    out = pl.pallas_call(
+        functools.partial(_conv_im2col_kernel, bh, bw, kh, kw, relu),
+        grid=(b, h // bh, w // bw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, bh, bw, cout), lambda ib, ih, iw: (ib, ih, iw, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bh + kh - 1, sw, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * kh * kw * cin * cout,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, k2d.astype(x.dtype), bias_arr)
+    return out

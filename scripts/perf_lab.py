@@ -642,7 +642,7 @@ def run_gdecomp():
     measure("entry transpose nhwc->planar", entry_transpose, u8n)
     measure("fwd kernel", fwd_only, rgb6)
     measure("tables (hist+lut+pack)", tables_only, labs)
-    measure("apply kernel", apply_only, list(zip(labs, luts)))
+    measure("apply kernel", apply_only, list(zip(labs, luts)), batch=8)
     measure("exit transpose planar->nhwc", exit_transpose, outs)
     measure("dequant to f32 nhwc", dequant, outs)
 
@@ -1095,6 +1095,70 @@ def run_narrowconv():
     print(f"im2col vs conv: max abs diff {np.abs(want - got).max():.4f} (bf16 scale {np.abs(want).max():.1f})")
     measure("conv12->128 XLA", f_xla, x, batch=2)
     measure("conv12->128 im2col", f_i2c, x, batch=2)
+
+
+@exp("narrowpallas")
+def run_narrowpallas():
+    """conv2d_narrow (in-VMEM im2col) vs XLA unpacked vs packed conv."""
+    from retinex_tpu.ops.conv_pallas import conv2d_narrow
+    from retinex_tpu.ops.s2d import conv_s2d, pack_kernel_s1, s2d
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.bfloat16
+    xs = [jnp.asarray(rng.standard_normal((2, H, W, 32)) * 0.3, dtype) for _ in range(3)]
+    xps = [s2d(x) for x in xs]
+    k = jnp.asarray(rng.standard_normal((3, 3, 32, 32)) * 0.05, jnp.float32)
+    k64 = jnp.asarray(rng.standard_normal((3, 3, 32, 64)) * 0.05, jnp.float32)
+    kp = pack_kernel_s1(k)
+    bias = jnp.asarray(rng.standard_normal((32,)), jnp.float32)
+    b64 = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+
+    @jax.jit
+    def xla_unpacked(x):
+        from jax import lax
+        return lax.conv_general_dilated(
+            x, k.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @jax.jit
+    def xla_packed(xp):
+        return conv_s2d(xp, kp, bias=bias)
+
+    @jax.jit
+    def pallas_narrow(x):
+        return conv2d_narrow(x, k, bias, relu=True)
+
+    @jax.jit
+    def pallas_narrow64(x):
+        return conv2d_narrow(x, k64, b64, relu=True)
+
+    @jax.jit
+    def pallas_narrow_dil(x):
+        return conv2d_narrow(x, k, bias, dilation=2)
+
+    from retinex_tpu.ops.conv_pallas import conv2d_pallas, conv2d_pallas_im2col
+
+    @jax.jit
+    def pallas_packed_tap(xp):
+        return conv2d_pallas(xp, kp, jnp.tile(bias, 4))
+
+    @jax.jit
+    def pallas_packed_im2col(xp):
+        return conv2d_pallas_im2col(xp, kp, jnp.tile(bias, 4))
+
+    want = np.asarray(xla_packed(xps[0]), np.float32)
+    got = np.asarray(pallas_packed_im2col(xps[0]), np.float32)
+    print(f"packed im2col vs conv_s2d: max abs diff {np.abs(want - got).max():.5f}")
+
+    gflop = 2 * 2 * H * W * 9 * 32 * 32 / 1e9
+    dt = measure("xla unpacked 3x3 32->32", xla_unpacked, xs)
+    print(f"   = {gflop / dt / 1e3:.1f} TF/s logical")
+    dt = measure("xla packed   3x3 32->32", xla_packed, xps)
+    print(f"   = {gflop / dt / 1e3:.1f} TF/s logical")
+    dt = measure("pallas packed per-tap", pallas_packed_tap, xps)
+    print(f"   = {gflop / dt / 1e3:.1f} TF/s logical")
+    dt = measure("pallas packed im2col", pallas_packed_im2col, xps)
+    print(f"   = {gflop / dt / 1e3:.1f} TF/s logical")
 
 
 @exp("scale23")
