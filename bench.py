@@ -131,7 +131,10 @@ def bench_classical(on_tpu: bool):
     k_big = 9 if on_tpu else 3
 
     if on_tpu:
-        from retinex_tpu.ops.clahe_gather import clahe_rgb_u8_gather
+        from retinex_tpu.ops.clahe_gather import (
+            clahe_rgb_u8_gather,
+            clahe_rgb_u8_planar_gather,
+        )
 
         inputs_u8 = [
             jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8) for x in inputs_f32
@@ -142,6 +145,18 @@ def bench_classical(on_tpu: bool):
             batch / dt_u8,
             "frames/sec",
             (batch / dt_u8) / BASELINE_FPS,
+        )
+        # Planar ingest: what the batched enhance driver feeds from the native
+        # decoder's planar mode (no NHWC<->planar relayouts).
+        inputs_planar = [jnp.transpose(v, (0, 3, 1, 2)) for v in inputs_u8]
+        dt_pl = measure_batch_seconds(
+            clahe_rgb_u8_planar_gather, inputs_planar, k_big=k_big
+        )
+        emit(
+            "classical_enhance_1080p_u8_planar_fps_per_chip",
+            batch / dt_pl,
+            "frames/sec",
+            (batch / dt_pl) / BASELINE_FPS,
         )
 
     fn = jax.jit(clahe_lab_rgb)  # auto-routes: gather kernel on TPU, XLA on CPU

@@ -834,13 +834,13 @@ def run_famparts():
 
     @jax.jit
     def fam_full(v):
-        return pk._fam_packed(v)
+        return pk._fam_packed(v, pk.fam1)
 
     @jax.jit
     def b1b2_only(v):
-        b1 = _conv_auto(v, pk.fam_k["branch1"], bias=pk.fam_b["branch1"])
+        b1 = _conv_auto(v, pk.fam1["k"]["branch1"], bias=pk.fam1["b"]["branch1"])
         b2 = maxpool3x3_s1_s2d(v)
-        b2 = _conv_auto(b2, pk.fam_k["branch2_conv"], bias=pk.fam_b["branch2_conv"])
+        b2 = _conv_auto(b2, pk.fam1["k"]["branch2_conv"], bias=pk.fam1["b"]["branch2_conv"])
         return b1, b2
 
     @jax.jit
@@ -859,17 +859,17 @@ def run_famparts():
     @jax.jit
     def tail_only(args):
         b1, b2, b3, b4 = args
-        kf = pk.fam_fusion_parts
+        kf = pk.fam1["parts"]
         out = jax.nn.relu(
             _conv(b1, kf[0]) + _conv(b2, kf[1]) + _conv(b3, kf[2]) + _conv(b4, kf[3])
-            + _tile4(pk.fam_b["fusion"]).astype(b1.dtype)
+            + _tile4(pk.fam1["b"]["fusion"]).astype(b1.dtype)
         )
         c = 32
         bsz = out.shape[0]
         gap = out.mean(axis=(1, 2)).reshape(bsz, 4, c).mean(axis=1)[:, None, None, :]
-        ca = _conv(gap, pk.fam_ca["ca_reduce"]["kernel"], pk.fam_ca["ca_reduce"]["bias"])
+        ca = _conv(gap, pk.fam1["ca"]["ca_reduce"]["kernel"], pk.fam1["ca"]["ca_reduce"]["bias"])
         ca = jax.nn.relu(ca)
-        ca = _conv(ca, pk.fam_ca["ca_expand"]["kernel"], pk.fam_ca["ca_expand"]["bias"])
+        ca = _conv(ca, pk.fam1["ca"]["ca_expand"]["kernel"], pk.fam1["ca"]["ca_expand"]["bias"])
         ca = jax.nn.sigmoid(ca)
         out = out * _tile4(ca).astype(out.dtype)
         b_, hh, ww, _ = out.shape
@@ -877,7 +877,7 @@ def run_famparts():
         avg_map = blocks.mean(axis=-1)
         max_map = blocks.max(axis=-1)
         sa_in = jnp.stack([avg_map, max_map], axis=-1).reshape(b_, hh, ww, 8)
-        sa = jax.nn.sigmoid(_conv_auto(sa_in, pk.fam_k["sa_conv"], bias=pk.fam_b["sa_conv"]))
+        sa = jax.nn.sigmoid(_conv_auto(sa_in, pk.fam1["k"]["sa_conv"], bias=pk.fam1["b"]["sa_conv"]))
         return (blocks * sa[..., None]).reshape(b_, hh, ww, 4 * c)
 
     measure("fam full (auto)", fam_full, xps, batch=B)
@@ -885,7 +885,7 @@ def run_famparts():
 
     @jax.jit
     def fam_full_xla(v):
-        return pk._fam_packed(v)
+        return pk._fam_packed(v, pk.fam1)
 
     measure("fam full (xla chains)", fam_full_xla, xps, batch=B)
     del os.environ["RETINEX_NO_FUSED"]
@@ -1073,6 +1073,48 @@ def run_netstages():
     measure("scale2 packed", scale2_packed_only, inputs, batch=batch)
     measure("scale2 flax", scale2_flax_only, inputs, batch=batch)
     measure("scale2/3 towers+resizes", scale23, inputs, batch=batch)
+
+
+@exp("netcfg")
+def run_netcfg():
+    """Full packed model under each gate combo (env read at trace time)."""
+    import os
+
+    from retinex_tpu.models.packed_inference import PackedRetinex
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+
+    batch = 2
+    dtype = jnp.bfloat16
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    pk = PackedRetinex(model, variables)
+    rng = np.random.default_rng(0)
+    inputs = [
+        jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32), dtype=dtype)
+        for _ in range(3)
+    ]
+
+    def run_with(env):
+        for k in ("RETINEX_FUSED_FAM", "RETINEX_FUSED_TAIL", "RETINEX_PACKED_SCALE2",
+                  "RETINEX_NO_FUSED"):
+            os.environ.pop(k, None)
+        os.environ.update(env)
+
+        @jax.jit
+        def f(x):
+            return pk(x)[0]
+
+        name = "+".join(env) or "default"
+        measure(f"full {name}", f, inputs, batch=batch)
+
+    run_with({})
+    run_with({"RETINEX_FUSED_FAM": "1"})
+    run_with({"RETINEX_FUSED_TAIL": "1"})
+    run_with({"RETINEX_PACKED_SCALE2": "1"})
+    run_with({"RETINEX_FUSED_FAM": "1", "RETINEX_FUSED_TAIL": "1",
+              "RETINEX_PACKED_SCALE2": "1"})
+    for k in ("RETINEX_FUSED_FAM", "RETINEX_FUSED_TAIL", "RETINEX_PACKED_SCALE2"):
+        os.environ.pop(k, None)
 
 
 @exp("narrowconv")
