@@ -29,6 +29,8 @@ from jax import lax
 from retinex_tpu.ops.conv_pallas import conv2d_pallas, conv_pallas_supported
 from retinex_tpu.ops.fused_blocks import (
     dec1_chain,
+    fam_conv_fused,
+    fam_conv_supported,
     fam_dual_conv3,
     fam_dual_supported,
     fam_tail_apply,
@@ -77,14 +79,38 @@ def _pack_fam(fam):
     )}
     c = fam["fusion"]["kernel"].shape[-1]
     kfu = fam["fusion"]["kernel"]  # [1,1,4c,c], input rows (branch, c)
+    parts = [pack_pointwise(kfu[:, :, c * i : c * (i + 1), :]) for i in range(4)]
+    # Whole-conv-stage folding for ops/fused_blocks.fam_conv_fused: the
+    # fusion 1x1 commutes into each branch (pointwise-after-conv == conv
+    # with transformed Cout); constants collect into one bias.
+    wf = [jnp.asarray(p[0, 0], jnp.float32) for p in parts]
+    ka = jnp.asarray(pack_pointwise(fam["branch1"]["kernel"])[0, 0], jnp.float32) @ wf[0]
+    kb = (
+        jnp.asarray(pack_pointwise(fam["branch2_conv"]["kernel"])[0, 0], jnp.float32)
+        @ wf[1]
+    )
+    k32f = jnp.einsum("uvio,op->uvip", k["branch3_conv2"], wf[2])
+    k42f = jnp.einsum("uvio,op->uvip", k["branch4_conv2"], wf[3])
+    bias_total = (
+        _tile4(b["fusion"])
+        + _tile4(b["branch1"]) @ wf[0]
+        + _tile4(b["branch2_conv"]) @ wf[1]
+        + _tile4(b["branch3_conv2"]) @ wf[2]
+        + _tile4(b["branch4_conv2"]) @ wf[3]
+    )
     return {
         "k": k,
         "b": b,
-        "parts": [pack_pointwise(kfu[:, :, c * i : c * (i + 1), :]) for i in range(4)],
+        "parts": parts,
         "dual_k1": jnp.concatenate([k["branch3_conv1"], k["branch4_conv1"]], axis=-1),
         "dual_b1": jnp.concatenate(
             [_tile4(b["branch3_conv1"]), _tile4(b["branch4_conv1"])]
         ),
+        "ka": ka,
+        "kb": kb,
+        "k32f": k32f,
+        "k42f": k42f,
+        "bias_total": bias_total,
         "ca": fam,
     }
 
@@ -111,14 +137,16 @@ def _conv_auto(x, packed_kernel, bias=None, relu=False):
     import os
 
     if (
-        x.shape[-1] <= 16
+        os.environ.get("RETINEX_NARROWCIN")
+        and x.shape[-1] <= 16
         and packed_kernel.shape[0] > 1
         and jax.devices()[0].platform != "cpu"
         and not os.environ.get("RETINEX_NO_FUSED")
     ):
-        # Narrow-Cin (the 12-channel packed input convs): XLA's conv emitter
-        # measures 3.74 ms/batch(2) vs 3.16 for the im2col GEMM (perf_lab
-        # `narrowconv`).
+        # Opt-in only: XLA's conv emitter measures 3.74 ms/batch(2) vs 3.16
+        # for the im2col GEMM standalone (perf_lab `narrowconv`), but the
+        # full-graph netcfg sweep shows the materialized patch tensors cost
+        # ~7 ms net (118.5 vs 111.4 ms).
         b = None
         if bias is not None:
             reps = packed_kernel.shape[-1] // bias.shape[0]
@@ -346,34 +374,47 @@ class PackedRetinex:
         k, bset = fw["k"], fw["b"]
         import os
 
-        b1 = _conv_auto(xp, k["branch1"], bias=bset["branch1"])
-        b2 = maxpool3x3_s1_s2d(xp)
-        b2 = _conv_auto(b2, k["branch2_conv"], bias=bset["branch2_conv"])
-        # Opt-in only: the fused dual kernel measured 60 TF/s vs XLA's 71.5
-        # on these chains (perf_lab `fusedblocks`/`famparts`) — XLA's conv
-        # emitter wins here; the FAM's real cost is attention/elementwise.
         if (
-            os.environ.get("RETINEX_FUSED_FAM")
-            and jax.devices()[0].platform != "cpu"
-            and fam_dual_supported(xp.shape)
+            jax.devices()[0].platform != "cpu"
+            and fam_conv_supported(xp.shape)
+            and not os.environ.get("RETINEX_NO_FUSED")
+            and not os.environ.get("RETINEX_NO_FAMCONV")
         ):
-            dual = fam_dual_conv3(
-                xp, fw["dual_k1"], fw["dual_b1"],
-                k["branch3_conv2"], _tile4(bset["branch3_conv2"]),
-                k["branch4_conv2"], _tile4(bset["branch4_conv2"]),
+            # Whole conv stage (4 branches + maxpool + fusion, 1x1s folded)
+            # in one Pallas kernel: no branch intermediate ever hits HBM.
+            # The ONE custom call that wins in-graph (netcfg: -4 ms).
+            out = fam_conv_fused(
+                xp, fw["ka"], fw["kb"], fw["dual_k1"], fw["dual_b1"],
+                fw["k32f"], fw["k42f"], fw["bias_total"],
             )
-            b3, b4 = dual[..., : 4 * c], dual[..., 4 * c :]
         else:
-            b3 = _conv_auto(xp, k["branch3_conv1"], bias=bset["branch3_conv1"], relu=True)
-            b3 = _conv_auto(b3, k["branch3_conv2"], bias=bset["branch3_conv2"])
-            b4 = _conv_auto(xp, k["branch4_conv1"], bias=bset["branch4_conv1"], relu=True)
-            b4 = _conv_auto(b4, k["branch4_conv2"], bias=bset["branch4_conv2"])
+            b1 = _conv_auto(xp, k["branch1"], bias=bset["branch1"])
+            b2 = maxpool3x3_s1_s2d(xp)
+            b2 = _conv_auto(b2, k["branch2_conv"], bias=bset["branch2_conv"])
+            # Opt-in only: the fused dual kernel measured 60 TF/s vs XLA's
+            # 71.5 on these chains (perf_lab `fusedblocks`/`famparts`).
+            if (
+                os.environ.get("RETINEX_FUSED_FAM")
+                and jax.devices()[0].platform != "cpu"
+                and fam_dual_supported(xp.shape)
+            ):
+                dual = fam_dual_conv3(
+                    xp, fw["dual_k1"], fw["dual_b1"],
+                    k["branch3_conv2"], _tile4(bset["branch3_conv2"]),
+                    k["branch4_conv2"], _tile4(bset["branch4_conv2"]),
+                )
+                b3, b4 = dual[..., : 4 * c], dual[..., 4 * c :]
+            else:
+                b3 = _conv_auto(xp, k["branch3_conv1"], bias=bset["branch3_conv1"], relu=True)
+                b3 = _conv_auto(b3, k["branch3_conv2"], bias=bset["branch3_conv2"])
+                b4 = _conv_auto(xp, k["branch4_conv1"], bias=bset["branch4_conv1"], relu=True)
+                b4 = _conv_auto(b4, k["branch4_conv2"], bias=bset["branch4_conv2"])
 
-        kf = fw["parts"]
-        out = jax.nn.relu(
-            _conv(b1, kf[0]) + _conv(b2, kf[1]) + _conv(b3, kf[2]) + _conv(b4, kf[3])
-            + _tile4(bset["fusion"]).astype(b1.dtype)
-        )
+            kf = fw["parts"]
+            out = jax.nn.relu(
+                _conv(b1, kf[0]) + _conv(b2, kf[1]) + _conv(b3, kf[2]) + _conv(b4, kf[3])
+                + _tile4(bset["fusion"]).astype(b1.dtype)
+            )
 
         # Channel attention: true per-channel GAP = mean over packed spatial
         # AND quadrants.
@@ -424,8 +465,12 @@ class PackedRetinex:
         # IENet full-res head/tail packed, middle via the Flax modules.
         import os
 
+        # dec1_chain is opt-in: standalone it beats the XLA chain, but the
+        # netcfg full-graph sweep shows a consistent ~12-16 ms layout/fusion
+        # penalty around the custom call (126.3 vs 114.7 ms with it off).
         use_fused = (
-            jax.devices()[0].platform != "cpu"
+            bool(os.environ.get("RETINEX_FUSED_DEC1"))
+            and jax.devices()[0].platform != "cpu"
             and fam_dual_supported((*xp.shape[:3], 128))
             and not os.environ.get("RETINEX_NO_FUSED")
         )
@@ -464,12 +509,12 @@ class PackedRetinex:
         x3s = resize_scale(x, 0.25)
         h2, w2 = x2s.shape[1], x2s.shape[2]
         # scale2 = pool-2 -> 32ch conv -> FAM: the same narrow-conv shape at
-        # half resolution, packable the same way (exact; the 2x2/s2 max-pool
-        # in packed space is a per-quadrant channel max). Opt-in only: at 1/4
-        # resolution the packed form's 4x FLOPs outweigh the MXU-utilization
-        # win (netstages: 5.41 ms packed vs 4.56 ms Flax per batch(2)).
+        # half resolution, packed the same way (exact; the 2x2/s2 max-pool in
+        # packed space is a per-quadrant channel max). In-graph the packed
+        # form measures faster (netcfg full-model sweep: 131.7 vs 133.6
+        # ms/batch(2)); standalone A/B deltas at this size are noise-level.
         use_packed_s2 = (
-            bool(os.environ.get("RETINEX_PACKED_SCALE2"))
+            not os.environ.get("RETINEX_NO_PACKED_SCALE2")
             and 2 * h2 == h and 2 * w2 == w and h2 % 4 == 0 and w2 % 4 == 0
         )
         f2p = None

@@ -18,6 +18,11 @@ Kernels:
 - `dec1_chain`: d2 -> 1x1 -> 3x3 -> 3x3 (+x1p residual) -> 3x3 tail — the
   dec1 UpBlock + residual_conv chain (reference: models/model.py:254-274 +
   :345-349), BN affines pre-folded into kernels/biases by the caller.
+- `fam_conv_fused`: the FAM's WHOLE conv stage — all four branches, the 3x3
+  max pool, and the fusion 1x1 (folded into each branch since pointwise-
+  after-conv == conv with transformed Cout) — in one kernel returning the
+  post-fusion ReLU tensor. No branch intermediate ever hits HBM (the XLA
+  formulation round-trips ~2 GB/batch of [*, 128] branch tensors).
 - `fam_tail_stats` / `fam_tail_apply`: the FAM attention tail's elementwise
   stages (reference: models/model.py:60-97 — CA scale, per-pixel channel
   mean/max for SA, final SA scale) on the PACKED [*, 4*32] tensor. XLA runs
@@ -368,3 +373,125 @@ def fam_tail_apply(x, ca_vec, sa, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((b, h, w, 128), x.dtype),
         interpret=interpret,
     )(x, _ca8(ca_vec), sa)
+
+
+def _fam_conv_kernel(bh, bw, h, w, x_ref, ka_ref, kb_ref, k1_ref, b1_ref,
+                     k32_ref, k42_ref, bt_ref, o_ref, xs, ys, sem):
+    """One program: FAM fusion output tile [bh, bw, 128] (pre-attention).
+
+    Computes relu( x@A + maxpool3x3(x)@B + conv3(y3, k32') + conv3(y4, k42')
+    + bias_total ) where (y3|y4) = relu(conv3(x, k1) + b1) — the four FAM
+    branches with the fusion 1x1 folded into each branch (pointwise-after-
+    conv == conv with transformed Cout; constant terms folded into bias_total
+    by the caller). All convs are PACKED 3-tap kernels (the original
+    dilation-2 branch4 conv folds to dense packed taps). Requires x >= 0 (the
+    FAM input is post-ReLU) so the zero HBM padding is also correct 'SAME'
+    padding for the max pool.
+
+    x_ref: [B, H+4, Wp, 128] HBM (pre-padded 2 rows/cols each side);
+    ka/kb: [128, 128] (folded 1x1s); k1: [3,3,128,256]; b1: [1,256] f32;
+    k32/k42: [3,3,128,128] (fusion-folded); bt: [1,128] f32;
+    xs: VMEM [bh+4, sw, 128]; ys: VMEM [bh+2, sw, 256].
+    """
+    ib, ih, iw = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    cin = xs.shape[2]
+
+    copy = pltpu.make_async_copy(
+        x_ref.at[ib, pl.ds(ih * bh, bh + 4), pl.ds(iw * bw, xs.shape[1]), :], xs, sem
+    )
+    copy.start()
+    copy.wait()
+
+    # Stage 1: y3|y4 with halo 1 for the second convs.
+    rows1, cols1 = bh + 2, bw + 2
+    acc = _tap_conv(xs, k1_ref, rows1, cols1, 0, cin, 256, 3)
+    acc = jnp.maximum(acc + b1_ref[0][None, :], 0.0).reshape(rows1, cols1, 256)
+    ok = _edge_mask(rows1, cols1, ih * bh - 1, iw * bw - 1, h, w)
+    ys[0:rows1, 0:cols1, :] = jnp.where(ok, acc, 0.0).astype(ys.dtype)
+
+    m = bh * bw
+    # Branch 1: center x @ A (x tile offset 2).
+    xc = xs[2 : 2 + bh, 2 : 2 + bw, :].reshape(m, cin)
+    acc = _dot(xc, ka_ref[...])
+
+    # Branch 2: 3x3 max pool (separable) then @ B. Packed-space pool per
+    # ORIGINAL pixel: row pass mixes the a-quadrant lane halves, column pass
+    # the b-quadrant 32-lane groups (ops/s2d.maxpool3x3_s1_s2d semantics).
+    c = cin // 4  # 32
+    up, mid, dn = (xs[1 + k : 1 + k + bh, 1 : 1 + bw + 2, :] for k in range(3))
+    both = jnp.maximum(mid[:, :, : 2 * c], mid[:, :, 2 * c :])
+    v0 = jnp.maximum(up[:, :, 2 * c :], both)     # out row-quadrant a=0
+    v1 = jnp.maximum(both, dn[:, :, : 2 * c])     # out row-quadrant a=1
+    # Four quadrant parts dotted against their B row blocks directly —
+    # Mosaic cannot lane-concat slices with mismatched intra-vreg offsets.
+    q = 0
+    for v in (v0, v1):  # v: [bh, bw+2, 64] = (b=0|b=1) column quadrants
+        lf, md, rt = v[:, 0:bw], v[:, 1 : 1 + bw], v[:, 2 : 2 + bw]
+        bothw = jnp.maximum(md[:, :, :c], md[:, :, c:])
+        h0 = jnp.maximum(lf[:, :, c:], bothw)
+        h1 = jnp.maximum(bothw, rt[:, :, :c])
+        for part in (h0, h1):
+            acc = acc + _dot(part.reshape(m, c), kb_ref[c * q : c * (q + 1), :])
+            q += 1
+
+    # Branches 3/4: second convs on the y halves (both plain packed 3-tap).
+    acc34 = jnp.zeros((m, cin), jnp.float32)
+    for u in range(3):
+        for v in range(3):
+            a3 = ys[u : u + bh, v : v + bw, 0:cin].reshape(m, cin)
+            a4 = ys[u : u + bh, v : v + bw, cin : 2 * cin].reshape(m, cin)
+            acc34 = acc34 + _dot(a3, k32_ref[u, v]) + _dot(a4, k42_ref[u, v])
+    acc = acc + acc34 + bt_ref[0][None, :]
+    o_ref[...] = jnp.maximum(acc, 0.0).astype(o_ref.dtype).reshape(bh, bw, 128)
+
+
+def fam_conv_supported(x_shape) -> bool:
+    _, h, w, c = x_shape
+    if c != 128:
+        return False
+    bh, bw = _pick_tiles(h, w, bw_max=192)
+    return bh is not None and bw is not None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fam_conv_fused(x, ka, kb, k1, b1, k32, k42, bias_total, interpret: bool = False):
+    """The FAM's whole conv stage in one kernel: returns the post-fusion ReLU
+    tensor (pre-attention). See `_fam_conv_kernel`; weights pre-folded by the
+    caller (models/packed_inference._fam_packed). x: [B,H,W,128] >= 0.
+    """
+    b, h, w, cin = x.shape
+    bh, bw = _pick_tiles(h, w, bw_max=192)
+    sw = _round8(bw + 4)
+    wp = (w // bw - 1) * bw + sw
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, wp - w - 2), (0, 0)))
+
+    def f32b(v, n):
+        return jnp.asarray(v, jnp.float32).reshape(1, n)
+
+    return pl.pallas_call(
+        functools.partial(_fam_conv_kernel, bh, bw, h, w),
+        grid=(b, h // bh, w // bw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec(
+            (None, bh, bw, 128), lambda ib, ih, iw: (ib, ih, iw, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, 128), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bh + 4, sw, cin), x.dtype),
+            pltpu.VMEM((bh + 2, sw, 256), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * (9 * cin * 512 + 2 * cin * cin),
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        xp,
+        jnp.asarray(ka, x.dtype), jnp.asarray(kb, x.dtype),
+        k1.astype(x.dtype), f32b(b1, 256),
+        k32.astype(x.dtype), k42.astype(x.dtype), f32b(bias_total, 128),
+    )

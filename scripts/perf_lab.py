@@ -1095,8 +1095,9 @@ def run_netcfg():
     ]
 
     def run_with(env):
-        for k in ("RETINEX_FUSED_FAM", "RETINEX_FUSED_TAIL", "RETINEX_PACKED_SCALE2",
-                  "RETINEX_NO_FUSED"):
+        for k in ("RETINEX_FUSED_FAM", "RETINEX_FUSED_TAIL", "RETINEX_NO_PACKED_SCALE2",
+                  "RETINEX_NO_FUSED", "RETINEX_NO_FAMCONV", "RETINEX_FUSED_DEC1",
+                  "RETINEX_NARROWCIN"):
             os.environ.pop(k, None)
         os.environ.update(env)
 
@@ -1107,14 +1108,9 @@ def run_netcfg():
         name = "+".join(env) or "default"
         measure(f"full {name}", f, inputs, batch=batch)
 
-    run_with({})
-    run_with({"RETINEX_FUSED_FAM": "1"})
-    run_with({"RETINEX_FUSED_TAIL": "1"})
-    run_with({"RETINEX_PACKED_SCALE2": "1"})
-    run_with({"RETINEX_FUSED_FAM": "1", "RETINEX_FUSED_TAIL": "1",
-              "RETINEX_PACKED_SCALE2": "1"})
-    for k in ("RETINEX_FUSED_FAM", "RETINEX_FUSED_TAIL", "RETINEX_PACKED_SCALE2"):
-        os.environ.pop(k, None)
+    run_with({})                         # default: famconv only (the winner)
+    run_with({"RETINEX_NO_FUSED": "1"})  # pure-XLA packed baseline
+    os.environ.pop("RETINEX_NO_FUSED", None)
 
 
 @exp("narrowconv")

@@ -93,3 +93,45 @@ def test_fam_tail_kernels_match_xla():
     want = (blocks * sa[..., None]).reshape(b, h, w, 4 * c)
     got = fam_tail_apply(out, ca_vec, sa, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fam_conv_fused_matches_xla():
+    """The whole-FAM-conv kernel vs the composed branch math (weights folded
+    the same way models/packed_inference._pack_fam does)."""
+    from retinex_tpu.ops.fused_blocks import fam_conv_fused, fam_conv_supported
+    from retinex_tpu.ops.s2d import maxpool3x3_s1_s2d
+
+    rng = np.random.default_rng(5)
+    b, h, w, cin = 1, 16, 128, 128
+    x = jnp.asarray(np.abs(rng.standard_normal((b, h, w, cin))) * 0.3, jnp.float32)
+    assert fam_conv_supported(x.shape)
+
+    w1 = jnp.asarray(rng.standard_normal((1, 1, cin, cin)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((1, 1, cin, cin)) * 0.05, jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, cin, 256)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((256,)) * 0.1, jnp.float32)
+    k32 = jnp.asarray(rng.standard_normal((3, 3, cin, cin)) * 0.05, jnp.float32)
+    k42 = jnp.asarray(rng.standard_normal((3, 3, cin, cin)) * 0.05, jnp.float32)
+    wf = [jnp.asarray(rng.standard_normal((cin, cin)) * 0.05, jnp.float32) for _ in range(4)]
+    bf = jnp.asarray(rng.standard_normal((cin,)) * 0.1, jnp.float32)
+
+    # reference composition
+    y = jax.nn.relu(_conv(x, k1, b1))
+    br1 = _conv(x, w1, pad=0)
+    br2 = _conv(maxpool3x3_s1_s2d(x), w2, pad=0)
+    br3 = _conv(y[..., :cin], k32)
+    br4 = _conv(y[..., cin:], k42)
+    want = jax.nn.relu(
+        jnp.einsum("bhwc,cp->bhwp", br1, wf[0])
+        + jnp.einsum("bhwc,cp->bhwp", br2, wf[1])
+        + jnp.einsum("bhwc,cp->bhwp", br3, wf[2])
+        + jnp.einsum("bhwc,cp->bhwp", br4, wf[3])
+        + bf
+    )
+
+    ka = w1[0, 0] @ wf[0]
+    kb = w2[0, 0] @ wf[1]
+    k32f = jnp.einsum("uvio,op->uvip", k32, wf[2])
+    k42f = jnp.einsum("uvio,op->uvip", k42, wf[3])
+    got = fam_conv_fused(x, ka, kb, k1, b1, k32f, k42f, bf, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
