@@ -1109,8 +1109,19 @@ def run_netcfg():
         measure(f"full {name}", f, inputs, batch=batch)
 
     run_with({})                         # default: famconv only (the winner)
-    run_with({"RETINEX_NO_FUSED": "1"})  # pure-XLA packed baseline
-    os.environ.pop("RETINEX_NO_FUSED", None)
+    run_with({"RETINEX_FUSED_TAIL": "1"})  # tail kernels next to famconv
+    os.environ.pop("RETINEX_FUSED_TAIL", None)
+
+    inputs4 = [
+        jnp.asarray(rng.random((4, H, W, 3), dtype=np.float32), dtype=dtype)
+        for _ in range(3)
+    ]
+
+    @jax.jit
+    def f4(x):
+        return pk(x)[0]
+
+    measure("full default batch=4", f4, inputs4, batch=4)
 
 
 @exp("narrowconv")
