@@ -118,14 +118,15 @@ def bench_net(on_tpu: bool):
     dtp = measure_batch_seconds(fwd_packed, inputs, k_big=5)
     emit(f"net_{h}x{w}_packed_fps_per_chip", batch / dtp, "frames/sec")
     if on_tpu:
-        # Throughput-optimal batch (measured: b4 +12% fps/chip over b2).
-        b4 = 2 * batch
-        inputs4 = [
-            jnp.asarray(rng.random((b4, h, w, 3), dtype=np.float32), dtype=dtype)
+        # Throughput-optimal batch (measured: b2 18.6 / b4 20.8 / b8 23.9
+        # fps/chip; b16 exceeds HBM — the s2d_upsample interleaves pad 4x).
+        b8 = 4 * batch
+        inputs8 = [
+            jnp.asarray(rng.random((b8, h, w, 3), dtype=np.float32), dtype=dtype)
             for _ in range(3)
         ]
-        dt4 = measure_batch_seconds(fwd_packed, inputs4, k_big=5)
-        emit(f"net_{h}x{w}_packed_b{b4}_fps_per_chip", b4 / dt4, "frames/sec")
+        dt8 = measure_batch_seconds(fwd_packed, inputs8, k_big=5)
+        emit(f"net_{h}x{w}_packed_b{b8}_fps_per_chip", b8 / dt8, "frames/sec")
 
 
 def bench_classical(on_tpu: bool):
