@@ -34,6 +34,7 @@ from retinex_tpu.ops.fused_blocks import (
     fam_dual_conv3,
     fam_dual_supported,
     fam_tail_apply,
+    fam_tail_apply_g1,
     fam_tail_stats,
     fam_tail_supported,
 )
@@ -369,8 +370,13 @@ class PackedRetinex:
         )
         return d2s(self._dec2(d3) + x2p)
 
-    def _fam_packed(self, xp, fw, c=32):
-        """EnhancedFAM on packed [*, 4c] input; fw = a `_pack_fam` bundle."""
+    def _fam_packed(self, xp, fw, c=32, fold_kernel=None):
+        """EnhancedFAM on packed [*, 4c] input; fw = a `_pack_fam` bundle.
+
+        fold_kernel: optional packed 1x1 [1,1,4c,Co] applied to the FAM
+        output (the caller's per-branch fusion slice) — folded into the tail
+        kernel on TPU so the big tensor flows custom-call-to-custom-call.
+        """
         k, bset = fw["k"], fw["b"]
         import os
 
@@ -425,21 +431,27 @@ class PackedRetinex:
         ca = _conv(ca, fw["ca"]["ca_expand"]["kernel"], fw["ca"]["ca_expand"]["bias"])
         ca = jax.nn.sigmoid(ca)
 
-        if (
-            os.environ.get("RETINEX_FUSED_TAIL")
-            and jax.devices()[0].platform != "cpu"
+        use_tail_kernels = (
+            jax.devices()[0].platform != "cpu"
             and fam_tail_supported(out.shape)
-        ):
-            # Opt-in only: standalone the two tail kernels measure 4.8 ms vs
-            # XLA's ~7 ms of relayout-bound stats/multiply passes, but INSIDE
-            # the full FAM graph the custom calls constrain 267 MB operands to
-            # row-major and the surrounding convs pay ~37 ms of layout copies
-            # (netstages: FAM 73.1 ms fused vs 36.3 ms XLA tail).
+            and not os.environ.get("RETINEX_NO_FUSED")
+            and (
+                # Next to the famconv custom call with the fusion slice
+                # folded in, the tail kernels win (the surrounding-XLA-conv
+                # layout penalty that made them lose standalone is gone);
+                # without a fold target they stay opt-in.
+                (fold_kernel is not None and not os.environ.get("RETINEX_NO_FAMTAILG1"))
+                or os.environ.get("RETINEX_FUSED_TAIL")
+            )
+        )
+        if use_tail_kernels:
             ca_vec = _tile4(ca[:, 0, 0, :])  # [b, 128]
             sa_in = fam_tail_stats(out, ca_vec)
             sa = jax.nn.sigmoid(
                 _conv_auto(sa_in, k["sa_conv"], bias=bset["sa_conv"])
             )
+            if fold_kernel is not None:
+                return fam_tail_apply_g1(out, ca_vec, sa, fold_kernel[0, 0])
             return fam_tail_apply(out, ca_vec, sa)
 
         out = out * _tile4(ca).astype(out.dtype)
@@ -452,7 +464,10 @@ class PackedRetinex:
         max_map = blocks.max(axis=-1)
         sa_in = jnp.stack([avg_map, max_map], axis=-1).reshape(b_, hh, ww, 8)
         sa = jax.nn.sigmoid(_conv_auto(sa_in, k["sa_conv"], bias=bset["sa_conv"]))
-        return (blocks * sa[..., None]).reshape(b_, hh, ww, 4 * c)
+        res = (blocks * sa[..., None]).reshape(b_, hh, ww, 4 * c)
+        if fold_kernel is not None:
+            res = _conv(res, fold_kernel)
+        return res
 
     # ---------- full forward ----------
 
@@ -500,14 +515,24 @@ class PackedRetinex:
 
         reflectance = x / (illu + model.epsilon)
 
-        # Scale towers: scale1 and scale2 packed; scale3 (tiny) via Flax.
-        f1p = _conv_auto(xp, self.k_s1conv, bias=self.b_s1conv, relu=True)
-        f1p = self._fam_packed(f1p, self.fam1)
-
         h, w = x.shape[1], x.shape[2]
         x2s = resize_scale(x, 0.5)
         x3s = resize_scale(x, 0.25)
         h2, w2 = x2s.shape[1], x2s.shape[2]
+        # Whether the fusion folds over the low-res towers (shapes refold
+        # exactly) is static: towers pool by 2/4 with VALID windows.
+        fold_ok = (
+            4 * (h2 // 2) == h and 4 * (w2 // 2) == w and 16 * (x3s.shape[1] // 4) == h
+        )
+
+        # Scale towers: scale1 and scale2 packed; scale3 (tiny) via Flax.
+        # When the fusion folds, each tower's fusion 1x1 slice folds into its
+        # FAM tail (custom-call-to-custom-call on TPU).
+        f1p = _conv_auto(xp, self.k_s1conv, bias=self.b_s1conv, relu=True)
+        g1 = self._fam_packed(
+            f1p, self.fam1, fold_kernel=self.k_fusion_f1 if fold_ok else None
+        )
+        f1p = None if fold_ok else g1
         # scale2 = pool-2 -> 32ch conv -> FAM: the same narrow-conv shape at
         # half resolution, packed the same way (exact; the 2x2/s2 max-pool in
         # packed space is a per-quadrant channel max). In-graph the packed
@@ -522,17 +547,19 @@ class PackedRetinex:
             x2p = s2d(x2s.astype(model.dtype))  # [B, h2/2, w2/2, 12]
             pooled = x2p.reshape(*x2p.shape[:3], 4, 3).max(axis=3)
             f2p = _conv_auto(s2d(pooled), self.k_s2conv, bias=self.b_s2conv, relu=True)
-            f2p = self._fam_packed(f2p, self.fam2)
+            f2p = self._fam_packed(
+                f2p, self.fam2, fold_kernel=self.k_fusion_f2p if fold_ok else None
+            )
             f2_h, f2_w = 2 * f2p.shape[1], 2 * f2p.shape[2]
         else:
             f2 = model.apply(variables, x2s, method=lambda m, a: m.scale2(a))
             f2_h, f2_w = f2.shape[1], f2.shape[2]
         f3 = model.apply(variables, x3s, method=lambda m, a: m.scale3(a))
 
-        if 4 * f2_h == h and 4 * f2_w == w and 16 * f3.shape[1] == h:
-            g1 = _conv_auto(f1p, self.k_fusion_f1)
+        assert fold_ok == (4 * f2_h == h and 4 * f2_w == w and 16 * f3.shape[1] == h)
+        if fold_ok:
             if use_packed_s2:
-                g2 = d2s(_conv_auto(f2p, self.k_fusion_f2p))
+                g2 = d2s(f2p)  # fusion slice already folded into the tail
             else:
                 g2 = _conv(f2, self.w_fusion_f2)
             g3 = _conv(f3, self.w_fusion_f3)
@@ -543,6 +570,7 @@ class PackedRetinex:
                 + _tile4(self.b_fusion).astype(g1.dtype)
             )
         else:  # shapes that don't refold exactly: the direct (resize) form
+            f1p = g1  # unfolded (fold_kernel was None)
             if use_packed_s2:
                 f2 = d2s(f2p)
             f2p = s2d(resize_bilinear(f2, h, w))

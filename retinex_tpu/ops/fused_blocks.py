@@ -495,3 +495,44 @@ def fam_conv_fused(x, ka, kb, k1, b1, k32, k42, bias_total, interpret: bool = Fa
         k1.astype(x.dtype), f32b(b1, 256),
         k32.astype(x.dtype), k42.astype(x.dtype), f32b(bias_total, 128),
     )
+
+
+def _tail_apply_g1_kernel(x_ref, ca_ref, sa_ref, w_ref, o_ref):
+    """out tile = ((x * ca * sa_broadcast) @ W) — the FAM tail apply with a
+    following 1x1 (e.g. the per-branch fusion slice) folded in, so the big
+    tensor flows custom-call-to-custom-call around the tiny XLA attention
+    ops. W: [128, Cout] f32."""
+    x = x_ref[...] * ca_ref[0][None, None, :].astype(x_ref.dtype)
+    sa = sa_ref[...].astype(x.dtype)  # [bh, W, 4]
+    rep = jnp.concatenate(
+        [jnp.broadcast_to(sa[:, :, q : q + 1], (*x.shape[:2], 32)) for q in range(4)],
+        axis=-1,
+    )
+    m = x.shape[0] * x.shape[1]
+    acc = _dot((x * rep).reshape(m, x.shape[2]), w_ref[...])
+    o_ref[...] = acc.astype(o_ref.dtype).reshape(*x.shape[:2], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fam_tail_apply_g1(x, ca_vec, sa, w_g1, interpret: bool = False):
+    """[B,H,W,128] x, [B,128] ca, [B,H,W,4] sa, [128,Cout] w -> x*ca*sa @ w."""
+    b, h, w, _ = x.shape
+    cout = w_g1.shape[-1]
+    bh = _pick_rows(h, w)
+    return pl.pallas_call(
+        _tail_apply_g1_kernel,
+        grid=(b, h // bh),
+        in_specs=[
+            pl.BlockSpec((None, bh, w, 128), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bh, w, 4), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, cout), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, bh, w, cout), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        interpret=interpret,
+    )(x, _ca8(ca_vec), sa, jnp.asarray(w_g1, jnp.float32))

@@ -1097,7 +1097,7 @@ def run_netcfg():
     def run_with(env):
         for k in ("RETINEX_FUSED_FAM", "RETINEX_FUSED_TAIL", "RETINEX_NO_PACKED_SCALE2",
                   "RETINEX_NO_FUSED", "RETINEX_NO_FAMCONV", "RETINEX_FUSED_DEC1",
-                  "RETINEX_NARROWCIN"):
+                  "RETINEX_NARROWCIN", "RETINEX_NO_FAMTAILG1"):
             os.environ.pop(k, None)
         os.environ.update(env)
 
@@ -1108,9 +1108,9 @@ def run_netcfg():
         name = "+".join(env) or "default"
         measure(f"full {name}", f, inputs, batch=batch)
 
-    run_with({})                         # default: famconv only (the winner)
-    run_with({"RETINEX_FUSED_TAIL": "1"})  # tail kernels next to famconv
-    os.environ.pop("RETINEX_FUSED_TAIL", None)
+    run_with({})                              # default: famconv + folded tail
+    run_with({"RETINEX_NO_FAMTAILG1": "1"})   # famconv, XLA tail (prior best)
+    os.environ.pop("RETINEX_NO_FAMTAILG1", None)
 
     inputs4 = [
         jnp.asarray(rng.random((4, H, W, 3), dtype=np.float32), dtype=dtype)
