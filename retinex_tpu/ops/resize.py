@@ -25,8 +25,34 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     n, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x[0] if squeeze else x
+    if h % max(out_h, 1) == 0 and w % max(out_w, 1) == 0 and out_h and out_w:
+        ry, rx = h // out_h, w // out_w
+        if ry >= 1 and rx >= 1 and (ry > 1 or rx > 1):
+            # Exact integer downscale: the half-pixel map src = k*d + (k-1)/2
+            # hits either one source row (k odd, frac 0) or the midpoint of
+            # two adjacent rows (k even, frac 0.5) — a strided slice / 2-row
+            # mean instead of jax.image.resize's dense interpolation matmuls
+            # (bit-identical up to FMA; covered by tests vs jax.image).
+            out = _exact_down(_exact_down(x, ry, 1), rx, 2)
+            return out[0] if squeeze else out
     out = jax.image.resize(x, (n, out_h, out_w, c), method="linear", antialias=False)
     return out[0] if squeeze else out
+
+
+def _exact_down(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    if k == 1:
+        return x
+    shape = list(x.shape)
+    out = shape[axis] // k
+    grouped = x.reshape(*shape[:axis], out, k, *shape[axis + 1 :])
+
+    def take(i):
+        idx = tuple([slice(None)] * (axis + 1) + [i])
+        return grouped[idx]
+
+    if k % 2:
+        return take((k - 1) // 2)
+    return (take(k // 2 - 1) + take(k // 2)) * 0.5
 
 
 def resize_scale(x: jnp.ndarray, scale: float) -> jnp.ndarray:
