@@ -303,45 +303,57 @@ def enhance_batch_images(
         return fn
 
     mode_key = classical_mode if classical_mode in ("ssr", "msr", "msrcr", "clahe") else "net"
+
+    def drain(pending):
+        """Fetch + queue saves for a previously dispatched chunk (software
+        pipeline: the device computes the NEXT chunk while this one's results
+        stream back and hit the save pool)."""
+        nonlocal processed, save_submit_s
+        chunk, out_h, out_w, batch_u8, enh_u8, illu_u8, t1 = pending
+        enh_np = np.asarray(enh_u8)  # forces execution + u8 download
+        t2 = time.time()
+        if saver is not None:
+            xf = batch_u8.astype(np.float32) / 255.0
+            if illu_u8 is not None:  # net mode: the model's illumination map
+                illu_np = np.asarray(illu_u8).astype(np.float32) / 255.0
+            else:
+                # Classical modes: luma stands in for the illumination map
+                # (matches enhance_single_image) — computed on host from
+                # the already-decoded bytes, zero device traffic.
+                illu_np = xf @ np.asarray([0.299, 0.587, 0.114], np.float32)
+            for j, path in enumerate(chunk):
+                futures.append(
+                    saver.submit(
+                        save_one,
+                        xf[j],
+                        enh_np[j].astype(np.float32) / 255.0,
+                        illu_np[j],
+                        path,
+                    )
+                )
+        save_submit_s += time.time() - t2
+        timings.extend([(t2 - t1) / len(chunk)] * len(chunk))
+        processed += len(chunk)
+        print(
+            f"[{processed}/{len(files)}] {out_h}x{out_w} chunk of {len(chunk)}: "
+            f"enhance+io {t2 - t1:.3f}s"
+        )
+
+    pending = None
     for (target, out_h, out_w), paths in buckets.items():
+        fn = quantized_pipeline(mode_key, (out_h, out_w))
         for i in range(0, len(paths), batch_size):
             chunk = paths[i : i + batch_size]
             t0 = time.time()
             batch_u8 = _decode_bucket(chunk, target, out_h, out_w, num_workers)
             t1 = time.time()
-            enh_u8, illu_u8 = quantized_pipeline(mode_key, (out_h, out_w))(
-                jnp.asarray(batch_u8)
-            )
-            enh_np = np.asarray(enh_u8)  # forces execution + u8 download
-            t2 = time.time()
-            if saver is not None:
-                xf = batch_u8.astype(np.float32) / 255.0
-                if illu_u8 is not None:  # net mode: the model's illumination map
-                    illu_np = np.asarray(illu_u8).astype(np.float32) / 255.0
-                else:
-                    # Classical modes: luma stands in for the illumination map
-                    # (matches enhance_single_image) — computed on host from
-                    # the already-decoded bytes, zero device traffic.
-                    illu_np = xf @ np.asarray([0.299, 0.587, 0.114], np.float32)
-                for j, path in enumerate(chunk):
-                    futures.append(
-                        saver.submit(
-                            save_one,
-                            xf[j],
-                            enh_np[j].astype(np.float32) / 255.0,
-                            illu_np[j],
-                            path,
-                        )
-                    )
-            t3 = time.time()
+            enh_u8, illu_u8 = fn(jnp.asarray(batch_u8))  # async dispatch
             decode_s += t1 - t0
-            save_submit_s += t3 - t2
-            timings.extend([(t2 - t1) / len(chunk)] * len(chunk))
-            processed += len(chunk)
-            print(
-                f"[{processed}/{len(files)}] {out_h}x{out_w} chunk of {len(chunk)}: "
-                f"decode {t1 - t0:.3f}s enhance+io {t2 - t1:.3f}s"
-            )
+            if pending is not None:
+                drain(pending)
+            pending = (chunk, out_h, out_w, batch_u8, enh_u8, illu_u8, t1)
+    if pending is not None:
+        drain(pending)
 
     if saver is not None:
         for f in futures:
