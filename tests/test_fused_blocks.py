@@ -135,3 +135,23 @@ def test_fam_conv_fused_matches_xla():
     k42f = jnp.einsum("uvio,op->uvip", k42, wf[3])
     got = fam_conv_fused(x, ka, kb, k1, b1, k32f, k42f, bf, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fam_tail_apply_g1_matches_xla():
+    from retinex_tpu.ops.fused_blocks import fam_tail_apply_g1
+
+    rng = np.random.default_rng(6)
+    b, h, w, c = 1, 8, 64, 32
+    out = jnp.asarray(np.abs(rng.standard_normal((b, h, w, 4 * c))) * 0.4, jnp.float32)
+    ca_vec = jnp.tile(jnp.asarray(jax.nn.sigmoid(
+        jnp.asarray(rng.standard_normal((b, c)), jnp.float32))), 4)
+    sa = jnp.asarray(jax.nn.sigmoid(
+        jnp.asarray(rng.standard_normal((b, h, w, 4)), jnp.float32)))
+    wg = jnp.asarray(rng.standard_normal((4 * c, 4 * c)) * 0.05, jnp.float32)
+
+    scaled = out * ca_vec[:, None, None, :]
+    blocks = scaled.reshape(b, h, w, 4, c)
+    applied = (blocks * sa[..., None]).reshape(b, h, w, 4 * c)
+    want = jnp.einsum("bhwc,cp->bhwp", applied, wg)
+    got = fam_tail_apply_g1(out, ca_vec, sa, wg, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
