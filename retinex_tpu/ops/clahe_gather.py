@@ -7,25 +7,29 @@ supports `jnp.take_along_axis` when table and index shapes MATCH, and a
 same-shape lane gather costs ~1 VPU op: a full 256-LUT lookup measures ~0.3 ms
 for the whole batch (scripts/probe_gather3.py).
 
-Architecture (v2 — no cellize: XLA relayout glue measured 6 ms/batch in v1):
+Architecture (v3 — no cellize: XLA relayout glue measured 6 ms/batch in v1):
 
-- XLA: forward colorspace (ops/colorspace.rgb_to_lab_u8) -> PLANAR uint8 Lab
-  [B, 3, H, W]; per-tile histograms via the nibble-MXU contraction; OpenCV
-  clip/redistribute/CDF LUT build; neighbour-LUT lane tables.
-- Pallas kernel, grid (B, ncy): block = one half-tile row band in natural
-  layout [3, hh, W] (W on lanes). Within a band the y-neighbour tiles and the
-  ya parity are fixed. The 4 neighbour LUTs of each x-cell are byte-packed
-  into one int32 word per entry (they are always indexed by the same pixel
-  value), laid out as two 128-entry lane halves per cell; a pixel looks up
-  its packed word with 2 same-shape lane gathers + 1 half select, unpacks the
-  4 bytes, then runs the bilinear blend and the inverse Lab->RGB colorspace —
-  all in one pass over the band.
+- `_fwd_stage` (Pallas, grid (B, ncy/nb)): planar uint8 sRGB -> 8-bit Lab,
+  nb half-tile row bands per program; sRGB de-gamma via same-shape lane
+  gathers from a 2x128 table, cbrt via the Newton `_fast_cbrt`.
+- `_tables_stage` (XLA, all MXU algebra — lane-axis cumsum and non-lane
+  gathers lower to relayout-heavy loops otherwise): nibble-MXU per-tile
+  histograms, OpenCV clip/redistribute, CDF as one triangular-matrix dot,
+  per-cell neighbour-LUT selection as constant 0/1 matmuls, byte-packed
+  into one int32 word per entry (the 4 neighbour LUTs are always indexed by
+  the same pixel value) laid out as two 128-entry lane halves per cell.
+- `_apply_stage` (Pallas, grid (B, ncy/nb)): within a band the y-neighbour
+  tiles and the ya parity are fixed (nb even keeps parity static per
+  unrolled band); a pixel looks up its packed word with 2 same-shape lane
+  gathers + 1 half select, unpacks the 4 bytes, then runs the bilinear blend
+  and the inverse Lab->RGB colorspace (gamma via `_fast_cbrt`) — one pass
+  over the band. `optimization_barrier`s keep XLA from interleaving the
+  table computation into the kernels' schedules.
 
 Bit-compatible with ops/clahe_fast.clahe_u8_fast up to FMA formation (rare
-+-1 at exact .5 blend ties) and Mosaic's pow lowering in the inverse
-colorspace (+-1 level); the XLA path itself sits within +-1 of cv2's
-fixed-point pipeline (tests/test_clahe.py), and PARITY.md documents the
-tolerance budget.
++-1 at exact .5 blend ties) and the fast-cbrt quantization-tie flips
+(+-1 Lab level on ~1% of pixels, PARITY.md #19); the XLA path itself sits
+within +-1 of cv2's fixed-point pipeline (tests/test_clahe.py).
 
 Reference behavior reproduced: enhancers/adaptive_params.py:121-169
 (cv2 Lab CLAHE on the L channel, clip 2.0, 8x8 tiles).
