@@ -9,8 +9,8 @@ scale-1 tower with its FAM, fusion and output head — rewritten in packed space
 tests/test_packed_inference.py). The /2 stages (enc2, dec2: 64-channel convs
 at H/2 x W/2) are packed the same way to 256-wide convs at /4; the /4-and-
 below body (enc3..dec3, ASPP) and the scale-3 tower run through the regular
-Flax modules. Packed scale2 exists behind RETINEX_PACKED_SCALE2 (measured
-slightly slower than Flax at 1/4 resolution).
+Flax modules. Every Pallas-kernel-vs-XLA choice is set by full-graph A/B
+sweeps (scripts/perf_lab.py netcfg; see BENCH_NOTES.md round 2).
 
 Usage:
     packed = PackedRetinex(model, variables)
@@ -48,7 +48,7 @@ from retinex_tpu.ops.s2d import (
     pack_kernel_s2,
     pack_pointwise,
     s2d,
-    s2d_upsample,
+    s2d_upsample_mxu,
 )
 
 _BN_EPS = 1e-5
@@ -565,8 +565,8 @@ class PackedRetinex:
             g3 = _conv(f3, self.w_fusion_f3)
             fused = (
                 g1
-                + s2d_upsample(g2, 4).astype(g1.dtype)
-                + s2d_upsample(g3, 16).astype(g1.dtype)
+                + s2d_upsample_mxu(g2, 4).astype(g1.dtype)
+                + s2d_upsample_mxu(g3, 16).astype(g1.dtype)
                 + _tile4(self.b_fusion).astype(g1.dtype)
             )
         else:  # shapes that don't refold exactly: the direct (resize) form

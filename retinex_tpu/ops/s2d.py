@@ -258,3 +258,46 @@ def maxpool3x3_s1_s2d(x_packed: jnp.ndarray) -> jnp.ndarray:
     h0 = jnp.maximum(vp[:, :, 0:ww, :, 1], bothw)
     h1 = jnp.maximum(bothw, vp[:, :, 2 : 2 + ww, :, 0])
     return jnp.stack([h0, h1], axis=4).reshape(b, hh, ww, c4)
+
+
+def _phase_matrix(n_out: int, n_in: int, factor: int, quadrant: int) -> jnp.ndarray:
+    """[n_out, n_in] bilinear interpolation rows for packed output index I of
+    row-quadrant `quadrant`: src = (2I + q + 0.5)/factor - 0.5, edge-clamped
+    (cv2 INTER_LINEAR / jax.image 'linear' half-pixel semantics)."""
+    rows = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        src = (2 * i + quadrant + 0.5) / factor - 0.5
+        lo = int(np.floor(src))
+        frac = src - lo
+        lo_c = min(max(lo, 0), n_in - 1)
+        hi_c = min(max(lo + 1, 0), n_in - 1)
+        rows[i, lo_c] += 1.0 - frac
+        rows[i, hi_c] += frac
+    return jnp.asarray(rows)
+
+
+def s2d_upsample_mxu(g: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """`s2d_upsample` as four separable matrix products on the MXU.
+
+    The phase-interleave form materializes 32-lane-minor intermediates that
+    pad 4x in TPU layouts (measured 4.7 + 3.5 ms/batch for the x4/x16 net
+    fusion upsamples vs ~0.6 ms of roofline); expressing the bilinear
+    upsample as out_q(a,b) = A_y^(a) @ g @ A_x^(b)^T with STATIC per-quadrant
+    interpolation matrices turns it into dense matmul work XLA schedules
+    well. Same math up to f32-accumulation rounding.
+    g: [B, h, w, C] -> [B, factor*h/2, factor*w/2, 4C] (quadrant-major).
+    """
+    assert factor % 2 == 0 and factor >= 2
+    b, h, w, c = g.shape
+    hp, wp = factor * h // 2, factor * w // 2
+    ay = jnp.stack([_phase_matrix(hp, h, factor, q) for q in (0, 1)])  # [2,hp,h]
+    ax = jnp.stack([_phase_matrix(wp, w, factor, q) for q in (0, 1)])  # [2,wp,w]
+    dt = g.dtype
+    # rows: [2(a), B, hp, w, C]; cols then quadrant-major channel concat.
+    t = jnp.einsum("api,bijc->abpjc", ay.astype(dt), g,
+                   preferred_element_type=jnp.float32).astype(dt)
+    o = jnp.einsum("dqj,abpjc->abdpqc", ax.astype(dt), t,
+                   preferred_element_type=jnp.float32).astype(dt)
+    # [2a, B, 2d, hp, wp, c] -> [B, hp, wp, (a*2+d)*c]
+    o = o.transpose(1, 3, 4, 0, 2, 5).reshape(b, hp, wp, 4 * c)
+    return o

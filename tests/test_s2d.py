@@ -73,3 +73,14 @@ def test_packed_maxpool_exact(rng):
     want = nn.max_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
     got = d2s(maxpool3x3_s1_s2d(s2d(x)))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_s2d_upsample_mxu_matches_phase_form():
+    from retinex_tpu.ops.s2d import s2d_upsample, s2d_upsample_mxu
+
+    rng = np.random.default_rng(3)
+    for factor, h, w in ((2, 8, 12), (4, 6, 10), (16, 4, 5)):
+        g = jnp.asarray(rng.standard_normal((2, h, w, 3)), jnp.float32)
+        want = np.asarray(s2d_upsample(g, factor))
+        got = np.asarray(s2d_upsample_mxu(g, factor))
+        np.testing.assert_allclose(got, want, atol=1e-5)
