@@ -107,12 +107,15 @@ def run(config: Config):
                 save_comparison=not config.no_comparison,
             )
         if input_path.is_dir():
+            from retinex_tpu.infer.batch_driver import maybe_mesh
+
             return predict_batch(
                 apply_fn,
                 str(input_path),
                 config.output_dir,
                 max_size=config.max_size,
                 save_comparison=not config.no_comparison,
+                mesh=maybe_mesh(config.n_devices),
             )
         raise FileNotFoundError(f"Input path does not exist: {config.input_path}")
 
@@ -135,6 +138,8 @@ def run(config: Config):
                 use_pallas=config.use_pallas_clahe,
             )
         if input_path.is_dir():
+            from retinex_tpu.infer.batch_driver import maybe_mesh
+
             return enhance_batch_images(
                 apply_fn,
                 str(input_path),
@@ -142,10 +147,12 @@ def run(config: Config):
                 max_size=config.max_size,
                 classical_mode=config.classical_mode,
                 use_pallas=config.use_pallas_clahe,
+                mesh=maybe_mesh(config.n_devices),
             )
         raise FileNotFoundError(f"Input path does not exist: {config.input_path}")
 
     if config.mode == "evaluate":
+        from retinex_tpu.infer.batch_driver import maybe_mesh
         from retinex_tpu.infer.evaluate import evaluate_directory
 
         ref_dir = config.test_dir if os.path.isdir(config.test_dir) else None
@@ -154,6 +161,7 @@ def run(config: Config):
             config.input_path,
             reference_dir=ref_dir,
             output_csv=os.path.join(config.output_dir, "metrics.csv"),
+            mesh=maybe_mesh(config.n_devices),
         )
 
     raise ValueError(f"Unknown mode: {config.mode}")
@@ -176,7 +184,9 @@ def simple_enhance_main(argv=None):
     parser.add_argument("--input", type=str, required=True)
     parser.add_argument("--output", type=str, default="./results")
     parser.add_argument("--max_size", type=int, default=None)
-    parser.add_argument("--device", type=str, default=None)
+    # Accepted for reference-CLI compatibility (simple_enhance.py:28) but a
+    # no-op: JAX owns device selection on TPU.
+    parser.add_argument("--device", type=str, default=None, help=argparse.SUPPRESS)
     parser.add_argument("--multi_scale", action="store_true")
     parser.add_argument("--content_aware", action="store_true")
     parser.add_argument("--classical", type=str, default=None, choices=["ssr", "msr", "msrcr"])

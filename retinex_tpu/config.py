@@ -50,7 +50,6 @@ class Config:
     # Inference (reference: main.py:76-81)
     max_size: int | None = None
     no_comparison: bool = False
-    device: str | None = None
 
     # Enhance toggles (reference: main.py:84-87)
     multi_scale: bool = False

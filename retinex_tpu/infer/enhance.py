@@ -182,40 +182,6 @@ def _classical_enhance(x: jnp.ndarray, classical_mode: str, use_pallas):
     return msr_enhance(x, mode=classical_mode)
 
 
-def _plan_canvas(path: str, max_size: int | None):
-    """Letterbox canvas for one file without decoding pixels (header only)."""
-    from PIL import Image
-
-    with Image.open(path) as im:
-        w, h = im.size
-    target = max_size if max_size is not None else max(h, w)
-    plan = plan_letterbox(h, w, target, auto=True, scaleup=False)
-    return target, plan
-
-
-def _decode_bucket(paths: list[str], target: int, out_h: int, out_w: int, num_workers: int):
-    """Decode + letterbox a same-canvas bucket to a uint8 NHWC batch —
-    C++ pipeline when built (no GIL, libjpeg-turbo), PIL fallback."""
-    try:
-        from retinex_tpu.data.native_loader import decode_letterbox_batch_canvas, native_available
-
-        if native_available():
-            return decode_letterbox_batch_canvas(
-                paths, target, out_h, out_w, auto_pad=True, scaleup=False,
-                num_threads=num_workers,
-            )
-    except Exception:
-        pass
-    from retinex_tpu.data.dataset import decode_image
-
-    imgs = []
-    for p in paths:
-        rgb = decode_image(p)
-        plan = plan_letterbox(rgb.shape[0], rgb.shape[1], target, auto=True, scaleup=False)
-        imgs.append(letterbox_np(rgb, plan))
-    return np.stack(imgs, axis=0)
-
-
 def enhance_batch_images(
     apply_fn,
     input_dir: str,
@@ -226,20 +192,24 @@ def enhance_batch_images(
     batch_size: int = 8,
     num_workers: int = 8,
     save_outputs: bool = True,
+    mesh=None,
 ):
     """Batch enhance over a directory, N frames per device dispatch.
 
     Unlike the reference's one-image-at-a-time loop
     (enhancers/simple_enhance.py:202-250 — which also skips multi-scale/
     content-aware in batch mode, :81), files are bucketed by letterboxed
-    canvas shape and fed to the batched NHWC pipeline `batch_size` at a time:
-    C++ threaded decode -> one jitted dispatch per chunk -> threaded PNG
-    encode. Returns per-image enhance timings (decode/save excluded, like the
-    reference's per-image numbers which also exclude I/O setup).
+    canvas shape (infer/batch_driver.py) and fed to the batched NHWC pipeline
+    `batch_size` at a time: C++ threaded decode -> one jitted dispatch per
+    chunk -> threaded PNG encode. When `mesh` is given each chunk is sharded
+    across its data axis (shard_map — byte-identical outputs, ~mesh-size
+    speedup). Returns per-image enhance timings (decode/save excluded, like
+    the reference's per-image numbers which also exclude I/O setup).
     """
     from concurrent.futures import ThreadPoolExecutor
 
     from retinex_tpu.data.dataset import VALID_EXTENSIONS_ENHANCE, list_image_files
+    from retinex_tpu.infer.batch_driver import run_bucketed, shard_batch_fn
 
     files = list_image_files(input_dir, recursive=False, extensions=VALID_EXTENSIONS_ENHANCE)
     if not files:
@@ -247,22 +217,10 @@ def enhance_batch_images(
         return []
     print(f"Found {len(files)} images")
 
-    # Bucket by letterboxed canvas so every chunk is one static jit shape.
-    buckets: dict[tuple[int, int, int], list[str]] = {}
-    for path in files:
-        target, plan = _plan_canvas(path, max_size)
-        key = (target, plan.out_h, plan.out_w)
-        buckets.setdefault(key, []).append(path)
-    print(f"{len(buckets)} shape bucket(s): " + ", ".join(
-        f"{h}x{w} x{len(v)}" for (_t, h, w), v in buckets.items()))
-
     os.makedirs(output_dir, exist_ok=True)
     adjuster = AdaptiveParameterAdjuster()
     saver = ThreadPoolExecutor(max_workers=num_workers) if save_outputs else None
     futures = []
-    timings: list[float] = []
-    decode_s = save_submit_s = 0.0
-    processed = 0
 
     def save_one(img_f32, enhanced, illu, path):
         name = os.path.splitext(os.path.basename(path))[0]
@@ -273,95 +231,72 @@ def enhance_batch_images(
         )
 
     on_accel = jax.devices()[0].platform != "cpu"
+    mode_key = classical_mode if classical_mode in ("ssr", "msr", "msrcr", "clahe") else "net"
 
     @functools.lru_cache(maxsize=8)
-    def quantized_pipeline(mode, shape):
+    def quantized_pipeline(shape):
         """uint8-in -> uint8-out device function: host<->device traffic is
         uint8 both ways (4x less than float — decisive when the accelerator
         sits behind a network tunnel, and still less PCIe in production)."""
         del shape  # distinct cache entries per canvas
 
         def quant(v):
-            return jnp.clip(jnp.round(v * 255.0), 0, 255).astype(jnp.uint8)
+            # floor == utils.viz.save_image's uint8 truncation, so batched
+            # outputs are byte-identical to the per-image path (for u8-derived
+            # values like the CLAHE path, v*255 is an exact integer and floor
+            # and round agree).
+            return jnp.clip(jnp.floor(v * 255.0), 0, 255).astype(jnp.uint8)
 
-        @jax.jit
         def fn(batch_u8):
             from retinex_tpu.ops.clahe_gather import clahe_rgb_u8_gather, gather_supported
 
             if (
-                mode == "clahe"
+                mode_key == "clahe"
                 and on_accel
                 and gather_supported(batch_u8.shape[1], batch_u8.shape[2], 8, 8)
             ):
                 return clahe_rgb_u8_gather(batch_u8), None
             x = batch_u8.astype(jnp.float32) / 255.0
-            if mode in ("ssr", "msr", "msrcr", "clahe"):
-                return quant(_classical_enhance(x, mode, use_pallas)), None
+            if mode_key in ("ssr", "msr", "msrcr", "clahe"):
+                return quant(_classical_enhance(x, mode_key, use_pallas)), None
             out, illu = adjuster.apply_adaptive_enhancement(apply_fn, x, use_pallas=use_pallas)
             return quant(out), quant(illu)
 
-        return fn
+        if mesh is not None:
+            return shard_batch_fn(fn, mesh)
+        return jax.jit(fn)
 
-    mode_key = classical_mode if classical_mode in ("ssr", "msr", "msrcr", "clahe") else "net"
-
-    def drain(pending):
-        """Fetch + queue saves for a previously dispatched chunk (software
-        pipeline: the device computes the NEXT chunk while this one's results
-        stream back and hit the save pool)."""
-        nonlocal processed, save_submit_s
-        chunk, out_h, out_w, batch_u8, enh_u8, illu_u8, t1 = pending
-        enh_np = np.asarray(enh_u8)  # forces execution + u8 download
-        t2 = time.time()
-        if saver is not None:
-            xf = batch_u8.astype(np.float32) / 255.0
-            if illu_u8 is not None:  # net mode: the model's illumination map
-                illu_np = np.asarray(illu_u8).astype(np.float32) / 255.0
-            else:
-                # Classical modes: luma stands in for the illumination map
-                # (matches enhance_single_image) — computed on host from
-                # the already-decoded bytes, zero device traffic.
-                illu_np = xf @ np.asarray([0.299, 0.587, 0.114], np.float32)
-            for j, path in enumerate(chunk):
-                futures.append(
-                    saver.submit(
-                        save_one,
-                        xf[j],
-                        enh_np[j].astype(np.float32) / 255.0,
-                        illu_np[j],
-                        path,
-                    )
+    def drain_cb(chunk, batch_u8, out_np):
+        if saver is None:
+            return
+        enh_np, illu_u8 = out_np
+        xf = batch_u8.astype(np.float32) / 255.0
+        if illu_u8 is not None:  # net mode: the model's illumination map
+            illu_np = illu_u8.astype(np.float32) / 255.0
+        else:
+            # Classical modes: luma stands in for the illumination map
+            # (matches enhance_single_image) — computed on host from
+            # the already-decoded bytes, zero device traffic.
+            illu_np = xf @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        for j, path in enumerate(chunk):
+            futures.append(
+                saver.submit(
+                    save_one, xf[j], enh_np[j].astype(np.float32) / 255.0, illu_np[j], path
                 )
-        save_submit_s += time.time() - t2
-        timings.extend([(t2 - t1) / len(chunk)] * len(chunk))
-        processed += len(chunk)
-        print(
-            f"[{processed}/{len(files)}] {out_h}x{out_w} chunk of {len(chunk)}: "
-            f"enhance+io {t2 - t1:.3f}s"
-        )
+            )
 
-    pending = None
-    for (target, out_h, out_w), paths in buckets.items():
-        fn = quantized_pipeline(mode_key, (out_h, out_w))
-        for i in range(0, len(paths), batch_size):
-            chunk = paths[i : i + batch_size]
-            t0 = time.time()
-            batch_u8 = _decode_bucket(chunk, target, out_h, out_w, num_workers)
-            t1 = time.time()
-            enh_u8, illu_u8 = fn(jnp.asarray(batch_u8))  # async dispatch
-            decode_s += t1 - t0
-            if pending is not None:
-                drain(pending)
-            pending = (chunk, out_h, out_w, batch_u8, enh_u8, illu_u8, t1)
-    if pending is not None:
-        drain(pending)
+    timings = run_bucketed(
+        files,
+        max_size=max_size,
+        batch_size=batch_size,
+        num_workers=num_workers,
+        make_fn=lambda key: quantized_pipeline((key[1], key[2])),
+        drain_cb=drain_cb,
+        mesh=mesh,
+    )
 
     if saver is not None:
         for f in futures:
             f.result()
         saver.shutdown()
-    total_enh = sum(timings)
-    print(
-        f"Processed {len(files)} images: enhance {total_enh:.2f}s "
-        f"({len(files) / max(total_enh, 1e-9):.1f} img/s), decode {decode_s:.2f}s"
-    )
     return timings

@@ -21,18 +21,19 @@ Requires H, W divisible by 2 (letterbox guarantees /32).
 
 from __future__ import annotations
 
+import dataclasses
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from retinex_tpu.ops.conv_pallas import conv2d_pallas, conv_pallas_supported
 from retinex_tpu.ops.fused_blocks import (
     dec1_chain,
+    dec1_chain_supported,
     fam_conv_fused,
     fam_conv_supported,
-    fam_dual_conv3,
-    fam_dual_supported,
     fam_tail_apply,
     fam_tail_apply_g1,
     fam_tail_stats,
@@ -40,7 +41,6 @@ from retinex_tpu.ops.fused_blocks import (
 )
 from retinex_tpu.ops.resize import resize_bilinear, resize_scale
 from retinex_tpu.ops.s2d import (
-    conv_im2col,
     conv_s2d,
     d2s,
     maxpool3x3_s1_s2d,
@@ -52,6 +52,36 @@ from retinex_tpu.ops.s2d import (
 )
 
 _BN_EPS = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class NetCfg:
+    """Kernel-choice configuration for PackedRetinex.
+
+    Defaults are the measured-winning full-graph configuration (perf_lab
+    `netcfg` sweeps, BENCH_NOTES.md round 2). perf_lab constructs variants
+    programmatically for A/B; production code should not override these.
+    The one environment override, RETINEX_NO_FUSED=1, disables every Pallas
+    custom call (debug / Mosaic-regression safety valve); it is applied at
+    PackedRetinex construction.
+
+    Measured-LOSING branches from round 2 (per-conv Pallas conv2d, narrow-Cin
+    im2col, fam_dual_conv3, standalone fused tail) were deleted from this
+    module — the kernels remain in ops/ with their standalone perf_lab
+    experiments and tests, but they no longer gate the production graph.
+    """
+
+    fam_conv_fused: bool = True   # whole FAM conv stage as one Pallas kernel
+    fam_tail_fold: bool = True    # fused FAM attention tail + fusion-slice fold
+    packed_scale2: bool = True    # scale-2 tower evaluated in packed space
+    dec1_chain: bool = False      # fused dec1 UpBlock chain (loses in-graph)
+
+    def resolve(self) -> "NetCfg":
+        if os.environ.get("RETINEX_NO_FUSED"):
+            return dataclasses.replace(
+                self, fam_conv_fused=False, fam_tail_fold=False, dec1_chain=False
+            )
+        return self
 
 
 def _pack_fam(fam):
@@ -130,39 +160,10 @@ def _pack_convtranspose2(kernel):
 
 
 def _conv_auto(x, packed_kernel, bias=None, relu=False):
-    """conv_s2d, optionally routed through the Pallas implicit-GEMM kernel
-    (ops/conv_pallas.py) via RETINEX_PALLAS_CONV=1. Off by default: the
-    kernel is ~2x XLA's conv emitter measured standalone, but inside the
-    full packed graph XLA's fusion of pad/bias/relu/neighbours into its own
-    convs wins back more than that (120.6 vs 132.2 ms/batch, BENCH_NOTES.md)."""
-    import os
-
-    if (
-        os.environ.get("RETINEX_NARROWCIN")
-        and x.shape[-1] <= 16
-        and packed_kernel.shape[0] > 1
-        and jax.devices()[0].platform != "cpu"
-        and not os.environ.get("RETINEX_NO_FUSED")
-    ):
-        # Opt-in only: XLA's conv emitter measures 3.74 ms/batch(2) vs 3.16
-        # for the im2col GEMM standalone (perf_lab `narrowconv`), but the
-        # full-graph netcfg sweep shows the materialized patch tensors cost
-        # ~7 ms net (118.5 vs 111.4 ms).
-        b = None
-        if bias is not None:
-            reps = packed_kernel.shape[-1] // bias.shape[0]
-            b = jnp.tile(bias, reps).astype(jnp.float32)
-        return conv_im2col(x, packed_kernel, b, relu=relu)
-    if (
-        os.environ.get("RETINEX_PALLAS_CONV")
-        and jax.devices()[0].platform != "cpu"
-        and conv_pallas_supported(x.shape, packed_kernel.shape)
-    ):
-        b = None
-        if bias is not None:
-            reps = packed_kernel.shape[-1] // bias.shape[0]
-            b = jnp.tile(bias, reps).astype(jnp.float32)
-        return conv2d_pallas(x, packed_kernel, b, relu=relu)
+    """Packed conv through XLA's conv emitter. Per-conv Pallas routing
+    (conv2d_pallas, narrow-Cin im2col) was removed: both measured-losing in
+    the full graph (BENCH_NOTES.md round 2; the kernels live on in ops/ and
+    scripts/perf_lab.py standalone experiments)."""
     out = conv_s2d(x, packed_kernel, bias=bias)
     return jax.nn.relu(out) if relu else out
 
@@ -202,7 +203,8 @@ def _conv(x, kernel, bias=None, stride=1, dilation=1):
 class PackedRetinex:
     """Callable packed-inference wrapper around trained variables."""
 
-    def __init__(self, model, variables):
+    def __init__(self, model, variables, cfg: NetCfg | None = None):
+        self.cfg = (cfg or NetCfg()).resolve()
         self.model = model
         self.variables = variables
         self.use_preact = model.use_preact
@@ -378,13 +380,10 @@ class PackedRetinex:
         kernel on TPU so the big tensor flows custom-call-to-custom-call.
         """
         k, bset = fw["k"], fw["b"]
-        import os
-
         if (
-            jax.devices()[0].platform != "cpu"
+            self.cfg.fam_conv_fused
+            and jax.devices()[0].platform != "cpu"
             and fam_conv_supported(xp.shape)
-            and not os.environ.get("RETINEX_NO_FUSED")
-            and not os.environ.get("RETINEX_NO_FAMCONV")
         ):
             # Whole conv stage (4 branches + maxpool + fusion, 1x1s folded)
             # in one Pallas kernel: no branch intermediate ever hits HBM.
@@ -397,24 +396,10 @@ class PackedRetinex:
             b1 = _conv_auto(xp, k["branch1"], bias=bset["branch1"])
             b2 = maxpool3x3_s1_s2d(xp)
             b2 = _conv_auto(b2, k["branch2_conv"], bias=bset["branch2_conv"])
-            # Opt-in only: the fused dual kernel measured 60 TF/s vs XLA's
-            # 71.5 on these chains (perf_lab `fusedblocks`/`famparts`).
-            if (
-                os.environ.get("RETINEX_FUSED_FAM")
-                and jax.devices()[0].platform != "cpu"
-                and fam_dual_supported(xp.shape)
-            ):
-                dual = fam_dual_conv3(
-                    xp, fw["dual_k1"], fw["dual_b1"],
-                    k["branch3_conv2"], _tile4(bset["branch3_conv2"]),
-                    k["branch4_conv2"], _tile4(bset["branch4_conv2"]),
-                )
-                b3, b4 = dual[..., : 4 * c], dual[..., 4 * c :]
-            else:
-                b3 = _conv_auto(xp, k["branch3_conv1"], bias=bset["branch3_conv1"], relu=True)
-                b3 = _conv_auto(b3, k["branch3_conv2"], bias=bset["branch3_conv2"])
-                b4 = _conv_auto(xp, k["branch4_conv1"], bias=bset["branch4_conv1"], relu=True)
-                b4 = _conv_auto(b4, k["branch4_conv2"], bias=bset["branch4_conv2"])
+            b3 = _conv_auto(xp, k["branch3_conv1"], bias=bset["branch3_conv1"], relu=True)
+            b3 = _conv_auto(b3, k["branch3_conv2"], bias=bset["branch3_conv2"])
+            b4 = _conv_auto(xp, k["branch4_conv1"], bias=bset["branch4_conv1"], relu=True)
+            b4 = _conv_auto(b4, k["branch4_conv2"], bias=bset["branch4_conv2"])
 
             kf = fw["parts"]
             out = jax.nn.relu(
@@ -431,18 +416,15 @@ class PackedRetinex:
         ca = _conv(ca, fw["ca"]["ca_expand"]["kernel"], fw["ca"]["ca_expand"]["bias"])
         ca = jax.nn.sigmoid(ca)
 
+        # Next to the famconv custom call with the fusion slice folded in,
+        # the tail kernels win (the surrounding-XLA-conv layout penalty that
+        # made them lose standalone is gone); without a fold target the XLA
+        # tail wins and is used.
         use_tail_kernels = (
-            jax.devices()[0].platform != "cpu"
+            self.cfg.fam_tail_fold
+            and fold_kernel is not None
+            and jax.devices()[0].platform != "cpu"
             and fam_tail_supported(out.shape)
-            and not os.environ.get("RETINEX_NO_FUSED")
-            and (
-                # Next to the famconv custom call with the fusion slice
-                # folded in, the tail kernels win (the surrounding-XLA-conv
-                # layout penalty that made them lose standalone is gone);
-                # without a fold target they stay opt-in.
-                (fold_kernel is not None and not os.environ.get("RETINEX_NO_FAMTAILG1"))
-                or os.environ.get("RETINEX_FUSED_TAIL")
-            )
         )
         if use_tail_kernels:
             ca_vec = _tile4(ca[:, 0, 0, :])  # [b, 128]
@@ -478,16 +460,14 @@ class PackedRetinex:
         xp = s2d(x).astype(model.dtype)  # compute dtype like the Flax modules
 
         # IENet full-res head/tail packed, middle via the Flax modules.
-        import os
-
-        # dec1_chain is opt-in: standalone it beats the XLA chain, but the
-        # netcfg full-graph sweep shows a consistent ~12-16 ms layout/fusion
-        # penalty around the custom call (126.3 vs 114.7 ms with it off).
+        # dec1_chain stays default-off: standalone it beats the XLA chain, but
+        # the netcfg full-graph sweep shows a consistent ~12-16 ms layout/
+        # fusion penalty around the custom call (126.3 vs 114.7 ms with it
+        # off). perf_lab re-sweeps it via NetCfg(dec1_chain=True).
         use_fused = (
-            bool(os.environ.get("RETINEX_FUSED_DEC1"))
+            self.cfg.dec1_chain
             and jax.devices()[0].platform != "cpu"
-            and fam_dual_supported((*xp.shape[:3], 128))
-            and not os.environ.get("RETINEX_NO_FUSED")
+            and dec1_chain_supported((*xp.shape[:3], 128))
         )
 
         x1p = _conv_auto(xp, self.k_input, bias=self.b_input, relu=True)
@@ -522,7 +502,10 @@ class PackedRetinex:
         # Whether the fusion folds over the low-res towers (shapes refold
         # exactly) is static: towers pool by 2/4 with VALID windows.
         fold_ok = (
-            4 * (h2 // 2) == h and 4 * (w2 // 2) == w and 16 * (x3s.shape[1] // 4) == h
+            4 * (h2 // 2) == h
+            and 4 * (w2 // 2) == w
+            and 16 * (x3s.shape[1] // 4) == h
+            and 16 * (x3s.shape[2] // 4) == w
         )
 
         # Scale towers: scale1 and scale2 packed; scale3 (tiny) via Flax.
@@ -539,7 +522,7 @@ class PackedRetinex:
         # form measures faster (netcfg full-model sweep: 131.7 vs 133.6
         # ms/batch(2)); standalone A/B deltas at this size are noise-level.
         use_packed_s2 = (
-            not os.environ.get("RETINEX_NO_PACKED_SCALE2")
+            self.cfg.packed_scale2
             and 2 * h2 == h and 2 * w2 == w and h2 % 4 == 0 and w2 % 4 == 0
         )
         f2p = None
@@ -556,7 +539,12 @@ class PackedRetinex:
             f2_h, f2_w = f2.shape[1], f2.shape[2]
         f3 = model.apply(variables, x3s, method=lambda m, a: m.scale3(a))
 
-        assert fold_ok == (4 * f2_h == h and 4 * f2_w == w and 16 * f3.shape[1] == h)
+        assert fold_ok == (
+            4 * f2_h == h
+            and 4 * f2_w == w
+            and 16 * f3.shape[1] == h
+            and 16 * f3.shape[2] == w
+        )
         if fold_ok:
             if use_packed_s2:
                 g2 = d2s(f2p)  # fusion slice already folded into the tail

@@ -180,9 +180,15 @@ def _luts_from_hist(hist: jnp.ndarray, clip_limit: float, tile_area: int) -> jnp
     tri = jnp.asarray(
         np.tril(np.ones((HIST_SIZE, HIST_SIZE), np.float32), 0).T
     )  # [j, e]: 1 where j <= e
+    # precision=HIGHEST: TPU default matmul precision truncates f32 operands to
+    # bf16 on the MXU; post-redistribution bins can exceed 256 (a flat 1080p
+    # tile yields ~379) which bf16 cannot represent, drifting the CDF/LUT 1-2
+    # levels from OpenCV. The tri matrix is 0/1 and accumulation is f32, so
+    # HIGHEST makes the contraction exact.
     cdf = jnp.einsum(
         "...j,je->...e", hist3.astype(jnp.float32), tri,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     lut_scale = float(HIST_SIZE - 1) / float(tile_area)
     return jnp.clip(jnp.round(cdf * lut_scale), 0, 255).astype(jnp.int32)

@@ -70,6 +70,48 @@ def _lab_f_inv(ft):
     return jnp.where(ft > 6.0 / 29.0, ft**3, (ft - 16.0 / 116.0) / 7.787)
 
 
+# Degree-7 least-squares fit of the sRGB de-gamma curve ((x+.055)/1.055)^2.4
+# in t = sqrt(x), over the 256 u8 grid points (scripts/fit: /tmp round 3, kept
+# in tests/test_clahe_gather.py::test_degamma_poly_u8_exhaustive). Replaces the
+# two 128-lane table gathers per channel (~18 ps/elem each) with ~13 VPU ops.
+# f32 max abs err 2.4e-7 in linear space; exhaustive 256^3 enumeration shows
+# 478 / 50.3M u8 Lab outputs flip by +-1 vs the exact path — inside the
+# documented fast-math tie budget (PARITY.md #19).
+_SRGB_DEGAMMA_POLY = (
+    0.009077301913723199,
+    -0.07309414093437108,
+    0.7940191884990185,
+    0.1755329417464656,
+    0.06602815095251341,
+    0.026846464865630783,
+    0.0007837959270618305,
+    0.0008063180181522742,
+)
+
+# Degree-6 fit of y^(1/2.4) in u = y^(1/4) over [0.0031308, 1]: max abs err
+# 9.6e-6 (~0.0026 u8 levels after the 1.055*g-0.055 affine) — tighter than the
+# fast_cbrt chain it replaces and 2 sqrt + 12 mul/add instead of ~17 ops.
+_SRGB_GAMMA_POLY = (
+    0.047714518636432106,
+    -0.23604406967047245,
+    0.5199604814878994,
+    -0.7256496357751211,
+    1.258747406128017,
+    0.1402784399017281,
+    -0.005006346544605578,
+)
+
+
+def _degamma_poly(v):
+    """sRGB de-gamma for u8-valued f32 input [0, 255] (fast-math path)."""
+    x = v * (1.0 / 255.0)
+    t = jnp.sqrt(x)
+    acc = _SRGB_DEGAMMA_POLY[0]
+    for c in _SRGB_DEGAMMA_POLY[1:]:
+        acc = acc * t + c
+    return jnp.where(x <= 0.04045, x * (1.0 / 12.92), acc)
+
+
 def _fast_cbrt(x):
     """x**(1/3) for x > 0 without pow: bit-trick seed + 2 division-free
     Newton steps on z ~ x**(-1/3) (z' = z(4 - x z^3)/3), then cbrt = x z^2.
@@ -90,11 +132,14 @@ def _fast_cbrt(x):
 
 
 def _linear_to_srgb(x, fastmath=True):
-    # x**(1/2.4) = c * sqrt(sqrt(c)) with c = cbrt(x): 1/2.4 == (1/3)*(5/4).
     x = jnp.maximum(x, 1e-12)
     if fastmath:
-        c = _fast_cbrt(x)
-        g = c * jnp.sqrt(jnp.sqrt(c))
+        # Degree-6 poly in y^(1/4) (see _SRGB_GAMMA_POLY): ~0.003 u8 levels,
+        # replacing the fast_cbrt chain (c*sqrt(sqrt(c)), ~0.007 levels).
+        u = jnp.sqrt(jnp.sqrt(x))
+        g = _SRGB_GAMMA_POLY[0]
+        for c in _SRGB_GAMMA_POLY[1:]:
+            g = g * u + c
     else:
         g = x ** (1.0 / 2.4)
     return jnp.where(x <= 0.0031308, x * 12.92, 1.055 * g - 0.055)
@@ -203,20 +248,27 @@ def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref):
     rows = hh * ncx
     shape = (rows, hw)
     shape128 = (rows, 128)
-    lo_t = jnp.broadcast_to(dg_ref[0][None], shape128)
-    hi_t = jnp.broadcast_to(dg_ref[1][None], shape128)
+    if fastmath:
+        # Polynomial de-gamma: ~13 VPU ops/channel vs 2 gathers + select
+        # (~18 ps/elem). dg_ref stays an operand (1 KB) but is unread.
+        def degamma(vals):
+            v = vals.astype(jnp.int32).astype(jnp.float32).reshape(shape)
+            return _degamma_poly(v)
+    else:
+        lo_t = jnp.broadcast_to(dg_ref[0][None], shape128)
+        hi_t = jnp.broadcast_to(dg_ref[1][None], shape128)
 
-    def degamma(vals):
-        v = vals.astype(jnp.int32).reshape(shape)
-        v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
-        hi_side = v128 >= 128
-        idx = jnp.where(hi_side, v128 - 128, v128)
-        g = jnp.where(
-            hi_side,
-            jnp.take_along_axis(hi_t, idx, axis=1),
-            jnp.take_along_axis(lo_t, idx, axis=1),
-        )
-        return g[:, :hw]
+        def degamma(vals):
+            v = vals.astype(jnp.int32).reshape(shape)
+            v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
+            hi_side = v128 >= 128
+            idx = jnp.where(hi_side, v128 - 128, v128)
+            g = jnp.where(
+                hi_side,
+                jnp.take_along_axis(hi_t, idx, axis=1),
+                jnp.take_along_axis(lo_t, idx, axis=1),
+            )
+            return g[:, :hw]
 
     def lab_f(t):
         t_pos = jnp.maximum(t, 1e-12)

@@ -122,6 +122,15 @@ def fam_dual_supported(x_shape) -> bool:
     return bh is not None and bw is not None
 
 
+def dec1_chain_supported(x_shape) -> bool:
+    """Mirror dec1_chain's own tile pick (bw_max=192): widths divisible by
+    224/240/256 but none of {192,...,64} pass fam_dual_supported yet crash
+    dec1_chain with bw=None."""
+    _, h, w, _ = x_shape
+    bh, bw = _pick_tiles(h, w, bw_max=192)
+    return bh is not None and bw is not None
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fam_dual_conv3(x, k1, b1, k2a, b2a, k2b, b2b, interpret: bool = False):
     """(relu(conv3x3(x,k1)+b1)) -> conv3x3 halves -> [*, 256] = (out_a|out_b).

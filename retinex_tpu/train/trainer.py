@@ -167,7 +167,8 @@ def train(config: Config) -> dict:
 
     for epoch in range(start_epoch, config.num_epochs):
         epoch_start = time.time()
-        epoch_sums: dict[str, float] = {k: 0.0 for k in LOG_KEYS}
+        epoch_sum = None  # stacked [n_losses] device array, one add per batch
+        sum_keys: list[str] = []
         num_batches = 0
 
         # Live progress bar with loss postfix (reference: trainers/train.py:61,
@@ -195,11 +196,17 @@ def train(config: Config) -> dict:
                 global_step = epoch * steps_per_epoch + batch_idx
                 logger.add_scalars("Loss", fetched, global_step)
                 bar.set_postfix({k: f"{v:.4f}" for k, v in fetched.items() if k == "total"})
-            for k in LOG_KEYS:
-                if k in loss_dict:
-                    epoch_sums[k] += loss_dict[k]  # device-side accumulation
+            # Device-side accumulation as ONE stacked array: a single add per
+            # batch instead of 8 scalar dispatches (round-2 review finding).
+            if not sum_keys:
+                sum_keys = [k for k in LOG_KEYS if k in loss_dict]
+            stacked = jnp.stack([loss_dict[k] for k in sum_keys])
+            epoch_sum = stacked if epoch_sum is None else epoch_sum + stacked
 
-        avg_losses = {k: float(v) / max(num_batches, 1) for k, v in epoch_sums.items()}
+        sums_np = np.asarray(epoch_sum) if epoch_sum is not None else np.zeros(0)
+        avg_losses = {
+            k: float(sums_np[i]) / max(num_batches, 1) for i, k in enumerate(sum_keys)
+        }
         for k, v in avg_losses.items():
             loss_history[k].append(v)
 

@@ -881,14 +881,17 @@ def run_famparts():
         return (blocks * sa[..., None]).reshape(b_, hh, ww, 4 * c)
 
     measure("fam full (auto)", fam_full, xps, batch=B)
-    os.environ["RETINEX_NO_FUSED"] = "1"
+    from retinex_tpu.models.packed_inference import NetCfg
+
+    pk_xla = PackedRetinex(
+        model, variables, NetCfg(fam_conv_fused=False, fam_tail_fold=False)
+    )
 
     @jax.jit
     def fam_full_xla(v):
-        return pk._fam_packed(v, pk.fam1)
+        return pk_xla._fam_packed(v, pk_xla.fam1)
 
     measure("fam full (xla chains)", fam_full_xla, xps, batch=B)
-    del os.environ["RETINEX_NO_FUSED"]
     measure("fam maxpool only", maxpool_only, xps, batch=B)
     measure("fam b1+b2", b1b2_only, xps, batch=B)
     measure("fam tail (fusion+CA+SA)", tail_only, fours, batch=B)
@@ -1012,15 +1015,15 @@ def run_netstages():
     def fam_only(f1p):
         return pk._fam_packed(f1p, pk.fam1)
 
-    import os
+    from retinex_tpu.models.packed_inference import NetCfg
+
+    pk_xla = PackedRetinex(
+        model, variables, NetCfg(fam_conv_fused=False, fam_tail_fold=False)
+    )
 
     @jax.jit
     def fam_xla_tail(f1p):
-        os.environ["RETINEX_NO_FUSED"] = "1"
-        try:
-            return pk._fam_packed(f1p, pk.fam1)
-        finally:
-            del os.environ["RETINEX_NO_FUSED"]
+        return pk_xla._fam_packed(f1p, pk_xla.fam1)
 
     from retinex_tpu.ops.fused_blocks import fam_tail_apply, fam_tail_stats
 
@@ -1077,45 +1080,40 @@ def run_netstages():
 
 @exp("netcfg")
 def run_netcfg():
-    """Full packed model under each gate combo (env read at trace time)."""
-    import os
-
-    from retinex_tpu.models.packed_inference import PackedRetinex
+    """Full packed model under each NetCfg kernel-choice combo."""
+    from retinex_tpu.models.packed_inference import NetCfg, PackedRetinex
     from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
 
     batch = 2
     dtype = jnp.bfloat16
     model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
-    pk = PackedRetinex(model, variables)
     rng = np.random.default_rng(0)
     inputs = [
         jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32), dtype=dtype)
         for _ in range(3)
     ]
 
-    def run_with(env):
-        for k in ("RETINEX_FUSED_FAM", "RETINEX_FUSED_TAIL", "RETINEX_NO_PACKED_SCALE2",
-                  "RETINEX_NO_FUSED", "RETINEX_NO_FAMCONV", "RETINEX_FUSED_DEC1",
-                  "RETINEX_NARROWCIN", "RETINEX_NO_FAMTAILG1"):
-            os.environ.pop(k, None)
-        os.environ.update(env)
+    def run_with(name, **kw):
+        pk = PackedRetinex(model, variables, NetCfg(**kw))
 
         @jax.jit
         def f(x):
             return pk(x)[0]
 
-        name = "+".join(env) or "default"
         measure(f"full {name}", f, inputs, batch=batch)
 
-    run_with({})                              # default: famconv + folded tail
-    run_with({"RETINEX_NO_FAMTAILG1": "1"})   # famconv, XLA tail (prior best)
-    os.environ.pop("RETINEX_NO_FAMTAILG1", None)
+    run_with("default")                                 # famconv + folded tail
+    run_with("xla-tail", fam_tail_fold=False)           # famconv, XLA tail
+    run_with("no-fused", fam_conv_fused=False, fam_tail_fold=False)
+    run_with("dec1-chain", dec1_chain=True)
+    run_with("unpacked-s2", packed_scale2=False)
 
     inputs4 = [
         jnp.asarray(rng.random((4, H, W, 3), dtype=np.float32), dtype=dtype)
         for _ in range(3)
     ]
+    pk = PackedRetinex(model, variables)
 
     @jax.jit
     def f4(x):
@@ -1253,6 +1251,141 @@ def run_scale23():
     measure("downsizes (1/2, 1/4)", downsizes, inputs, batch=batch)
     measure("towers only", towers, downs, batch=batch)
     measure("upsizes+s2d", upsizes, fs, batch=batch)
+
+
+@exp("sol")
+def run_sol():
+    """Speed-of-light decomposition for the v3 gather CLAHE pipeline.
+
+    Measures (a) each stage of the production u8 planar pipeline in its own
+    jit, (b) VPU fma / gather / fast-cbrt element throughput with chained
+    Pallas microkernels at the pipeline's own block shapes, (c) HBM stream
+    bandwidth for u8 and f32 — the numbers BENCH_NOTES' speed-of-light
+    analysis derives from.
+    """
+    import functools as ft
+
+    import retinex_tpu.ops.clahe_gather as cg
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    hh, hw = H // NCY, W // NCX
+
+    @jax.jit
+    def full(xp):
+        return cg.clahe_rgb_u8_planar_gather(xp)
+
+    @jax.jit
+    def fwd_only(xp):
+        rgb6 = xp.reshape(B, 3, NCY, hh, NCX, hw)
+        return cg._fwd_stage(rgb6)
+
+    labs = [fwd_only(x) for x in xs]
+    area = (2 * hh) * (2 * hw)
+
+    @jax.jit
+    def tables_only(lab6):
+        return cg._tables_stage(lab6, 2.0, TILES, TILES, area)
+
+    luts = [tables_only(l) for l in labs]
+
+    @jax.jit
+    def apply_only(args):
+        lab6, lane_luts = args
+        return cg._apply_stage(lab6, lane_luts)
+
+    measure("full u8 planar", full, xs)
+    measure("fwd stage only", fwd_only, xs)
+    measure("tables stage only", tables_only, labs, batch=B)
+    measure("apply stage only", apply_only, list(zip(labs, luts)), batch=B)
+
+    # --- microbenches at pipeline-like shapes ---------------------------
+    rows = hh * NCX            # 1088 rows per band-of-4? use a flat big block
+    NROW, LANES = 512, 128     # per-program block: 512x128 f32 = 256 KB
+    GRID = 34 * B              # ~17.8M elements ~= one 8-batch of pixels
+    total_elems = NROW * LANES * GRID
+
+    def fma_kernel(k, x_ref, o_ref):
+        x = x_ref[...]
+        for _ in range(k):
+            x = x * 1.000001 + 1e-7
+        o_ref[...] = x
+
+    def run_chain(kernel, k, arr):
+        return pl.pallas_call(
+            ft.partial(kernel, k),
+            grid=(GRID,),
+            in_specs=[pl.BlockSpec((NROW, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((NROW, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((NROW * GRID, LANES), arr.dtype),
+        )(arr)
+
+    fbuf = [jnp.asarray(rng.random((NROW * GRID, LANES), dtype=np.float32)) for _ in range(2)]
+
+    for k in (8, 64):
+        f = jax.jit(ft.partial(run_chain, fma_kernel, k))
+        dt = measure(f"fma chain k={k}", f, fbuf, batch=B)
+    # ps/op = (dt64 - dt8) / 56 / total_elems -- printed by the caller script
+
+    def cbrt_kernel(k, x_ref, o_ref):
+        x = x_ref[...]
+        for _ in range(k):
+            x = cg._fast_cbrt(x + 1.0)
+        o_ref[...] = x
+
+    for k in (2, 8):
+        f = jax.jit(ft.partial(run_chain, cbrt_kernel, k))
+        measure(f"fast_cbrt chain k={k}", f, fbuf, batch=B)
+
+    def gather_kernel(k, x_ref, o_ref):
+        idx = x_ref[...]
+        table = jax.lax.broadcasted_iota(jnp.int32, (NROW, LANES), 1)
+        table = (table * 7 + 3) % 128
+        for _ in range(k):
+            idx = jnp.take_along_axis(table, idx, axis=1)
+        o_ref[...] = idx
+
+    ibuf = [
+        jnp.asarray(rng.integers(0, 128, (NROW * GRID, LANES), dtype=np.int32))
+        for _ in range(2)
+    ]
+    for k in (2, 8):
+        f = jax.jit(ft.partial(run_chain, gather_kernel, k))
+        measure(f"gather chain k={k}", f, ibuf, batch=B)
+
+    # --- HBM stream: out-of-place add on u8 / f32 -----------------------
+    ubuf = [
+        jnp.asarray(rng.integers(0, 255, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(2)
+    ]
+
+    @jax.jit
+    def copy_u8(x):
+        return x + jnp.uint8(1)
+
+    measure("hbm u8 in+out 2x50MB", copy_u8, ubuf)
+
+    f32buf = [jnp.asarray(rng.random((B, 3, H, W), dtype=np.float32)) for _ in range(2)]
+
+    @jax.jit
+    def copy_f32(x):
+        return x + 1.0
+
+    measure("hbm f32 in+out 2x200MB", copy_f32, f32buf)
+
+    # u8 <-> f32 quantize round trip (the f32 API wrapper cost)
+    @jax.jit
+    def quant_roundtrip(x):
+        q = jnp.clip(jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
+        return q.astype(jnp.float32) / 255.0
+
+    measure("f32->u8->f32 quantize", quant_roundtrip, f32buf)
 
 
 @exp("pallas_old")

@@ -60,3 +60,52 @@ def test_single_image_clahe_mode(image_dir, tmp_path):
         None, str(image_dir / "wide_0.png"), str(tmp_path / "o"), classical_mode="clahe"
     )
     assert enhanced.ndim == 3 and float(np.asarray(enhanced).max()) <= 1.0
+
+
+def test_native_decode_failure_warns_and_falls_back(image_dir, monkeypatch):
+    """A broken C++ decode path must degrade to PIL with a once-per-process
+    RuntimeWarning — never silently (round-2 review finding)."""
+    import warnings
+
+    import retinex_tpu.data.native_loader as nl
+    import retinex_tpu.infer.batch_driver as bd
+
+    def boom(*a, **k):
+        raise RuntimeError("forced native failure")
+
+    monkeypatch.setattr(nl, "native_available", lambda: True)
+    monkeypatch.setattr(nl, "decode_letterbox_batch_canvas", boom)
+    monkeypatch.setattr(bd, "_warned_native_fallback", False)
+
+    paths = [str(image_dir / "tall_0.png"), str(image_dir / "tall_1.png")]
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        batch = bd.decode_bucket(paths, 96, 96, 64, num_workers=2)
+        # second call: warning fires only once per process
+        bd.decode_bucket(paths, 96, 96, 64, num_workers=2)
+    assert batch.shape == (2, 96, 64, 3) and batch.dtype == np.uint8
+    warned = [w for w in rec if issubclass(w.category, RuntimeWarning)]
+    assert len(warned) == 1 and "forced native failure" in str(warned[0].message)
+
+
+def test_sharded_enhance_matches_single_device(image_dir, tmp_path):
+    """Multi-chip batch-parallel enhance: chunks sharded over an 8-device data
+    mesh must produce byte-identical PNGs to the single-device path (the
+    pipeline is per-image; shard_map adds no cross-image math)."""
+    from retinex_tpu.parallel.mesh import create_mesh
+
+    out_1 = tmp_path / "dev1"
+    out_8 = tmp_path / "dev8"
+    enhance_batch_images(
+        None, str(image_dir), str(out_1), classical_mode="clahe", batch_size=4
+    )
+    mesh = create_mesh(8)
+    timings = enhance_batch_images(
+        None, str(image_dir), str(out_8), classical_mode="clahe", batch_size=4,
+        mesh=mesh,
+    )
+    assert len(timings) == 5
+    for f in os.listdir(out_1):
+        a = np.asarray(Image.open(out_1 / f))
+        b = np.asarray(Image.open(out_8 / f))
+        np.testing.assert_array_equal(a, b, err_msg=f)

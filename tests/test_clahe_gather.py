@@ -84,3 +84,71 @@ def test_fast_cbrt_accuracy():
     x64 = np.asarray(t, np.float64)
     g = got * np.sqrt(np.sqrt(got))
     assert np.abs(g - x64 ** (1 / 2.4)).max() * 255 * 1.055 < 0.05
+
+
+def test_degamma_poly_u8_exhaustive():
+    """The fast-math polynomial de-gamma (round 3: replaces the in-kernel
+    table gathers) must track the exact sRGB curve to <3e-7 on all 256 u8
+    grid points, and the resulting u8 Lab outputs may differ from the exact
+    path on at most ~1e-5 of the full 256^3 input space, by at most +-1."""
+    from retinex_tpu.ops.clahe_gather import _degamma_poly
+    from retinex_tpu.ops.colorspace import srgb_to_linear
+
+    k = np.arange(256, dtype=np.float32)
+    poly = np.asarray(_degamma_poly(jnp.asarray(k)), np.float32)
+    exact = np.asarray(srgb_to_linear(jnp.asarray(k / 255.0)), np.float32)
+    assert np.abs(poly - exact).max() < 3e-7
+
+    # Full 256^3 enumeration of quantized Lab outputs (numpy mirror of the
+    # kernel math), chunked over the red axis.
+    M = np.array(
+        [
+            [0.412453, 0.357580, 0.180423],
+            [0.212671, 0.715160, 0.072169],
+            [0.019334, 0.119193, 0.950227],
+        ],
+        np.float32,
+    )
+    XN, ZN = np.float32(0.950456), np.float32(1.088754)
+
+    def lab_q(linr, ling, linb):
+        X = (M[0, 0] * linr + M[0, 1] * ling + M[0, 2] * linb) / XN
+        Y = M[1, 0] * linr + M[1, 1] * ling + M[1, 2] * linb
+        Z = (M[2, 0] * linr + M[2, 1] * ling + M[2, 2] * linb) / ZN
+
+        def lab_f(t):
+            return np.where(
+                t > 0.008856,
+                np.cbrt(np.maximum(t, 1e-12)),
+                np.float32(7.787) * t + np.float32(16.0 / 116.0),
+            )
+
+        fx, fy, fz = lab_f(X), lab_f(Y), lab_f(Z)
+        L8 = (116 * fy - 16) * np.float32(255.0 / 100.0)
+        a8 = 500 * (fx - fy) + 128
+        b8 = 200 * (fy - fz) + 128
+        q = lambda v: np.clip(np.round(v), 0, 255).astype(np.int16)  # noqa: E731
+        return q(L8), q(a8), q(b8)
+
+    flips = 0
+    for r0 in range(0, 256, 64):
+        sl = slice(r0, r0 + 64)
+        e = lab_q(exact[sl][:, None, None], exact[None, :, None], exact[None, None, :])
+        p = lab_q(poly[sl][:, None, None], poly[None, :, None], poly[None, None, :])
+        for a, b in zip(e, p):
+            d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+            assert d.max() <= 1
+            flips += int((d > 0).sum())
+    assert flips < 1000, flips  # measured 478 / 50.3M
+
+
+def test_gamma_poly_accuracy():
+    """fastmath _linear_to_srgb (round-3 poly) vs the exact curve: under
+    0.01 u8 levels everywhere in the nonlinear region."""
+    from retinex_tpu.ops.clahe_gather import _linear_to_srgb
+
+    y = np.linspace(1e-7, 1.0, 200_001).astype(np.float32)
+    got = np.asarray(_linear_to_srgb(jnp.asarray(y), fastmath=True), np.float64)
+    y64 = y.astype(np.float64)
+    want = np.where(y64 <= 0.0031308, y64 * 12.92, 1.055 * y64 ** (1 / 2.4) - 0.055)
+    assert np.abs(got - want).max() * 255 < 0.01

@@ -52,3 +52,47 @@ def test_evaluate_empty_dir(tmp_path):
     d.mkdir()
     with pytest.raises(ValueError):
         evaluate_directory(str(d))
+
+
+def test_evaluate_mixed_shapes_and_small_batches(tmp_path, rng):
+    """Two shape buckets, batch smaller than a bucket: every image still gets
+    a row and values match the per-image metric bundle."""
+    import jax.numpy as jnp
+
+    from retinex_tpu.data.dataset import decode_image
+    from retinex_tpu.ops.metrics import calculate_metrics
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    for i in range(3):
+        Image.fromarray((rng.random((32, 40, 3)) * 255).astype(np.uint8)).save(
+            d / f"a_{i}.png"
+        )
+    for i in range(2):
+        Image.fromarray((rng.random((24, 24, 3)) * 255).astype(np.uint8)).save(
+            d / f"b_{i}.png"
+        )
+    rows = evaluate_directory(str(d), batch_size=2)
+    assert len(rows) == 5
+    by_name = {r["image"]: r for r in rows}
+    img = jnp.asarray(decode_image(str(d / "a_1.png")), jnp.float32) / 255.0
+    want = {k: float(v) for k, v in calculate_metrics(img).items()}
+    got = by_name["a_1.png"]
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], v, rtol=1e-5, err_msg=k)
+
+
+def test_evaluate_sharded_matches_single(dirs):
+    """Metrics sharded over an 8-device data mesh match the single-device
+    run (multi-chip evaluate; padding rows are sliced off)."""
+    from retinex_tpu.parallel.mesh import create_mesh
+
+    a, b = dirs
+    base = evaluate_directory(a, reference_dir=b)
+    sharded = evaluate_directory(a, reference_dir=b, mesh=create_mesh(8))
+    assert len(base) == len(sharded)
+    for r1, r2 in zip(base, sharded):
+        assert r1["image"] == r2["image"]
+        for k in r1:
+            if k != "image":
+                np.testing.assert_allclose(r1[k], r2[k], rtol=1e-5, err_msg=k)

@@ -49,3 +49,51 @@ def test_packed_jits(rng):
     packed = PackedRetinex(model, variables)
     out = jax.jit(packed)(x)
     assert out[0].shape == (1, 32, 32, 3)
+
+
+def test_netcfg_variants_match(rng):
+    """Every NetCfg kernel-choice combo evaluates the same function (on CPU the
+    Pallas gates route to the XLA forms, so this pins the cfg plumbing and the
+    packed/unpacked scale2 + dec1 structural branches)."""
+    from retinex_tpu.models.packed_inference import NetCfg
+
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True)
+    x = jnp.asarray(rng.random((1, 64, 96, 3), dtype=np.float32) * 0.7 + 0.1)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    base = np.asarray(PackedRetinex(model, variables)(x)[0])
+    for cfg in (
+        NetCfg(fam_conv_fused=False, fam_tail_fold=False),
+        NetCfg(packed_scale2=False),
+        NetCfg(dec1_chain=True),
+    ):
+        got = np.asarray(PackedRetinex(model, variables, cfg)(x)[0])
+        np.testing.assert_allclose(got, base, atol=2e-4, err_msg=str(cfg))
+
+
+def test_no_fused_env_disables_pallas(rng, monkeypatch):
+    """RETINEX_NO_FUSED=1 (the one surviving env flag) must zero out every
+    Pallas kernel choice at construction."""
+    from retinex_tpu.models.packed_inference import NetCfg
+
+    monkeypatch.setenv("RETINEX_NO_FUSED", "1")
+    model = MultiScaleUPRetinex(use_preact=False, use_aspp=False)
+    x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    packed = PackedRetinex(model, variables, NetCfg(dec1_chain=True))
+    assert not packed.cfg.fam_conv_fused
+    assert not packed.cfg.fam_tail_fold
+    assert not packed.cfg.dec1_chain
+    assert packed(x)[0].shape == (1, 32, 32, 3)
+
+
+def test_odd_width_refold_falls_back(rng):
+    """Widths divisible by 8 but not 16: the scale-3 tower's width does not
+    refold, so fold_ok must be False and the resize-fusion path must run
+    (round-2 advisor finding: missing width term crashed with a broadcast
+    error at 32x40)."""
+    model = MultiScaleUPRetinex(use_preact=False, use_aspp=False)
+    x = jnp.asarray(rng.random((1, 32, 40, 3), dtype=np.float32) * 0.8 + 0.1)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    want = np.asarray(model.apply(variables, x, train=False)[0])
+    got = np.asarray(PackedRetinex(model, variables)(x)[0])
+    np.testing.assert_allclose(got, want, atol=2e-3)
