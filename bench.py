@@ -68,24 +68,33 @@ def bench_train_step(on_tpu: bool):
     from retinex_tpu.train.trainer import build_criterion
 
     size, batch = (256, 4) if on_tpu else (64, 2)
-    config = Config(use_preact=True, use_aspp=True, use_perceptual_loss=True)
-    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True)
-    criterion = build_criterion(config)
-    state = create_train_state(
-        model, jax.random.PRNGKey(0), (batch, size, size, 3), lambda s: 1e-4
-    )
-    step = make_train_step(model, criterion, mesh=None, donate=False)
     rng = np.random.default_rng(0)
     batches = [
         jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32)) for _ in range(3)
     ]
 
-    def run(b):
-        new_state, losses = step(state, b)
-        return losses["total"]
+    # f32 and bf16 (use_amp — the reference's AMP analog, README.md:201
+    # claims 1.8x there) compute paths, both measured.
+    for amp in (False, True) if on_tpu else (False,):
+        config = Config(
+            use_preact=True, use_aspp=True, use_perceptual_loss=True, use_amp=amp
+        )
+        model = MultiScaleUPRetinex(
+            use_preact=True, use_aspp=True, dtype=config.compute_dtype
+        )
+        criterion = build_criterion(config)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (batch, size, size, 3), lambda s: 1e-4
+        )
+        step = make_train_step(model, criterion, mesh=None, donate=False)
 
-    dt = measure_batch_seconds(run, batches, k_big=5)
-    emit(f"train_step_{size}px_b{batch}_steps_per_sec", 1.0 / dt, "steps/sec")
+        def run(b, step=step, state=state):
+            new_state, losses = step(state, b)
+            return losses["total"]
+
+        dt = measure_batch_seconds(run, batches, k_big=5)
+        tag = "_bf16" if amp else ""
+        emit(f"train_step_{size}px_b{batch}{tag}_steps_per_sec", 1.0 / dt, "steps/sec")
 
 
 def bench_net(on_tpu: bool):

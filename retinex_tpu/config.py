@@ -123,6 +123,11 @@ def add_config_args(parser, config: Config | None = None):
             else:
                 typ = str
             parser.add_argument(name, type=typ, default=default, help=f"(default: {default})")
+    # Accepted for reference-CLI compatibility (main.py:80) but a no-op:
+    # JAX owns device selection on TPU (the old Config.device was dead).
+    import argparse
+
+    parser.add_argument("--device", type=str, default=None, help=argparse.SUPPRESS)
     return parser
 
 

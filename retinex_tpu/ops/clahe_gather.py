@@ -63,6 +63,10 @@ _XYZ2RGB = (
 )
 _XN = 0.950456
 _ZN = 1.088754
+# XN / ZN folded into the matrix columns (fast-math path: saves two muls/px).
+_XYZ2RGB_SCALED = tuple(
+    (row[0] * _XN, row[1], row[2] * _ZN) for row in _XYZ2RGB
+)
 
 
 def _lab_f_inv(ft):
@@ -100,6 +104,31 @@ _SRGB_GAMMA_POLY = (
     0.1402784399017281,
     -0.005006346544605578,
 )
+
+# Same curve with the 1.055*g - 0.055 affine AND the *255 output scale folded
+# into the coefficients (the apply kernel emits u8-scale values directly):
+# max abs err 0.0026 u8 levels over [0.0031308, 1].
+_SRGB_GAMMA255_POLY = (
+    12.835237785736428,
+    -63.49701544328259,
+    139.87449495175434,
+    -195.2111054903446,
+    338.63132790358344,
+    37.7391815876927,
+    -15.371907699101135,
+)
+
+
+def _linear_to_srgb255_fast(x):
+    """255 * (sRGB gamma of linear x), fast-math: poly in x^(1/4) with the
+    affine + output scale pre-folded (3 fewer ops/channel than
+    _linear_to_srgb followed by *255)."""
+    x = jnp.maximum(x, 1e-12)
+    u = jnp.sqrt(jnp.sqrt(x))
+    g = _SRGB_GAMMA255_POLY[0]
+    for c in _SRGB_GAMMA255_POLY[1:]:
+        g = g * u + c
+    return jnp.where(x <= 0.0031308, x * (12.92 * 255.0), g)
 
 
 def _degamma_poly(v):
@@ -223,16 +252,27 @@ def _apply_kernel(hh, hw, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_r
         fx = fy + (a8 - 128.0) / 500.0
         fz = fy - (b8 - 128.0) / 200.0
         Y = _lab_f_inv(fy)
-        X = _lab_f_inv(fx) * _XN
-        Z = _lab_f_inv(fz) * _ZN
-        m = _XYZ2RGB
-        for c in range(3):
-            ch = _linear_to_srgb(m[c][0] * X + m[c][1] * Y + m[c][2] * Z, fastmath)
-            ch = jnp.round(jnp.clip(ch, 0.0, 1.0) * 255.0).astype(jnp.int32)
-            out_ref[c, r] = ch.astype(jnp.uint8).reshape(hh, ncx, hw)
+        if fastmath:
+            # XN/ZN folded into the matrix, affine + *255 folded into the
+            # gamma poly: emits u8-scale channel values directly.
+            X = _lab_f_inv(fx)
+            Z = _lab_f_inv(fz)
+            m = _XYZ2RGB_SCALED
+            for c in range(3):
+                ch = _linear_to_srgb255_fast(m[c][0] * X + m[c][1] * Y + m[c][2] * Z)
+                ch = jnp.round(jnp.clip(ch, 0.0, 255.0)).astype(jnp.int32)
+                out_ref[c, r] = ch.astype(jnp.uint8).reshape(hh, ncx, hw)
+        else:
+            X = _lab_f_inv(fx) * _XN
+            Z = _lab_f_inv(fz) * _ZN
+            m = _XYZ2RGB
+            for c in range(3):
+                ch = _linear_to_srgb(m[c][0] * X + m[c][1] * Y + m[c][2] * Z, fastmath)
+                ch = jnp.round(jnp.clip(ch, 0.0, 1.0) * 255.0).astype(jnp.int32)
+                out_ref[c, r] = ch.astype(jnp.uint8).reshape(hh, ncx, hw)
 
 
-def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref):
+def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref, poly=True):
     """Forward colorspace: planar u8 sRGB -> 8-bit-scale Lab u8, nb row bands.
 
     rgb_ref: [3, nb, hh, ncx, hw] uint8; dg_ref: [2, 128] f32 (sRGB de-gamma
@@ -248,9 +288,10 @@ def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref):
     rows = hh * ncx
     shape = (rows, hw)
     shape128 = (rows, 128)
-    if fastmath:
-        # Polynomial de-gamma: ~13 VPU ops/channel vs 2 gathers + select
-        # (~18 ps/elem). dg_ref stays an operand (1 KB) but is unread.
+    if fastmath and poly:
+        # Polynomial de-gamma: ~13 VPU ops/channel vs 2 gathers + select.
+        # dg_ref stays an operand (1 KB) but is unread. `poly=False` keeps
+        # the gather form for perf_lab A/B (`polyab`).
         def degamma(vals):
             v = vals.astype(jnp.int32).astype(jnp.float32).reshape(shape)
             return _degamma_poly(v)
@@ -371,7 +412,7 @@ def clahe_rgb_u8_planar_gather(
     return rgbp.reshape(b, 3, h, w)
 
 
-def _fwd_stage(rgb6: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+def _fwd_stage(rgb6: jnp.ndarray, interpret: bool = False, poly: bool = True) -> jnp.ndarray:
     """[b, 3, ncy, hh, ncx, hw] u8 sRGB -> [3, b, ncy, hh, ncx, hw] u8 Lab.
 
     The Lab intermediate is CHANNEL-LEADING [3, b, ...] so the histogram stage
@@ -385,7 +426,7 @@ def _fwd_stage(rgb6: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     fastmath = not interpret  # exact transcendental math under the interpreter
     nb = _pick_bands(ncy)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, hh, hw, fastmath, nb),
+        functools.partial(_fwd_kernel, hh, hw, fastmath, nb, poly=poly),
         grid=(b, ncy // nb),
         in_specs=[
             pl.BlockSpec(

@@ -1078,6 +1078,112 @@ def run_netstages():
     measure("scale2/3 towers+resizes", scale23, inputs, batch=batch)
 
 
+@exp("inner")
+def run_inner():
+    """Bisect the /4-and-below IENet body (enc3 + bottleneck + ASPP + dec3):
+    where do the ~20 ms/batch(2) of 'middle' go, and do the dilated ASPP
+    branches (d=6/12/18 at /8) leave MXU throughput on the table vs a
+    shifted-matmul decomposition?"""
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+
+    batch = 2
+    dtype = jnp.bfloat16
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    rng = np.random.default_rng(0)
+    # /4 feature map at 1080p: [b, 272, 480, 128]
+    x3s = [
+        jnp.asarray(rng.standard_normal((batch, 272, 480, 128)) * 0.3, dtype)
+        for _ in range(3)
+    ]
+
+    def stage(name, method):
+        return jax.jit(
+            lambda v: model.apply(variables, v, False, method=method)
+        )
+
+    inner = stage("inner", lambda m, a, t: m.ie_net.inner(a, t))
+    enc3 = stage("enc3", lambda m, a, t: m.ie_net.enc3(a, t))
+    x4s = [enc3(v) for v in x3s]  # [b, 136, 240, 256]
+    bott = stage("bott", lambda m, a, t: m.ie_net.bottleneck1(a, t))
+    aspp = stage("aspp", lambda m, a, t: m.ie_net.aspp(a, t))
+    dec3 = stage("dec3", lambda m, a, t: m.ie_net.dec3(a, t))
+
+    measure("inner total", inner, x3s, batch=batch)
+    measure("enc3", enc3, x3s, batch=batch)
+    measure("bottleneck1 (res block)", bott, x4s, batch=batch)
+    measure("aspp", aspp, x4s, batch=batch)
+    measure("dec3 (UpBlock)", dec3, x4s, batch=batch)
+
+    # One dilated conv (d=18, 256->256) alone, XLA conv emitter vs the
+    # shifted-matmul decomposition (9 shifted [H*W,256] @ [256,256] dots).
+    p = variables["params"]["ie_net"]["aspp"]["aspp_branch2"]
+    k = jnp.asarray(p["Conv_0"]["kernel"], dtype)  # [3,3,256,256]
+
+    from jax import lax
+
+    def d18_conv(x):
+        return lax.conv_general_dilated(
+            x, k, (1, 1), ((18, 18), (18, 18)), rhs_dilation=(18, 18),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def d18_shift(x):
+        d = 18
+        xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+        h, w = x.shape[1], x.shape[2]
+        acc = None
+        for u in range(3):
+            for v in range(3):
+                sl = xp[:, u * d : u * d + h, v * d : v * d + w, :]
+                t = jnp.einsum(
+                    "bhwi,io->bhwo", sl, k[u, v],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = t if acc is None else acc + t
+        return acc.astype(x.dtype)
+
+    measure("aspp d18 conv (XLA)", jax.jit(d18_conv), x4s, batch=batch)
+    measure("aspp d18 as 9 shifted dots", jax.jit(d18_shift), x4s, batch=batch)
+
+    # All three dilated branches batched into ONE 9-shift pass (shared slices
+    # impossible — different d — but a single fused jit):
+    ks = {
+        6: jnp.asarray(variables["params"]["ie_net"]["aspp"]["aspp_branch0"]["Conv_0"]["kernel"], dtype),
+        12: jnp.asarray(variables["params"]["ie_net"]["aspp"]["aspp_branch1"]["Conv_0"]["kernel"], dtype),
+        18: k,
+    }
+
+    def branches_shift(x):
+        h, w = x.shape[1], x.shape[2]
+        outs = []
+        for d, kk in ks.items():
+            xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+            acc = None
+            for u in range(3):
+                for v in range(3):
+                    sl = xp[:, u * d : u * d + h, v * d : v * d + w, :]
+                    t = jnp.einsum(
+                        "bhwi,io->bhwo", sl, kk[u, v],
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = t if acc is None else acc + t
+            outs.append(acc.astype(x.dtype))
+        return outs
+
+    def branches_conv(x):
+        return [
+            lax.conv_general_dilated(
+                x, kk, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            for d, kk in ks.items()
+        ]
+
+    measure("aspp 3 dilated convs (XLA)", jax.jit(branches_conv), x4s, batch=batch)
+    measure("aspp 3 dilated as shifted dots", jax.jit(branches_shift), x4s, batch=batch)
+
+
 @exp("netcfg")
 def run_netcfg():
     """Full packed model under each NetCfg kernel-choice combo."""
@@ -1273,7 +1379,7 @@ def run_sol():
     rng = np.random.default_rng(0)
     xs = [
         jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
-        for _ in range(4)
+        for _ in range(10)
     ]
     hh, hw = H // NCY, W // NCX
 
@@ -1312,9 +1418,11 @@ def run_sol():
     total_elems = NROW * LANES * GRID
 
     def fma_kernel(k, x_ref, o_ref):
+        # logistic map: serial, NOT constant-foldable (x*a+b chains compose
+        # into one affine and measured a negative slope — round-3 lesson).
         x = x_ref[...]
         for _ in range(k):
-            x = x * 1.000001 + 1e-7
+            x = x * (1.0 - x)
         o_ref[...] = x
 
     def run_chain(kernel, k, arr):
@@ -1386,6 +1494,185 @@ def run_sol():
         return q.astype(jnp.float32) / 255.0
 
     measure("f32->u8->f32 quantize", quant_roundtrip, f32buf)
+
+    # --- apply-kernel bisection: lookup+blend only vs inverse-colorspace only
+    ncy, ncx_ = NCY, NCX
+    nb = 4
+
+    def lut_only_kernel(lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
+        # the LUT lookup + bilinear blend WITHOUT the inverse colorspace
+        rows = hh * ncx_
+        shape = (rows, hw)
+        shape128 = (rows, 128)
+        xa = jnp.broadcast_to(xa_ref[None], (hh, ncx_, hw)).reshape(shape)
+        for r in range(nb):
+            v = lab_ref[0, r].astype(jnp.int32).reshape(rows, hw)
+            ya2 = ya_ref[:, (r % 2) : (r % 2) + 1]
+            ya = jnp.broadcast_to(ya2[:, :, None], (hh, ncx_, hw)).reshape(shape)
+            v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
+            hi_side = v128 >= 128
+            idx128 = jnp.where(hi_side, v128 - 128, v128)
+            lo_t = jnp.broadcast_to(luts_ref[r, :, 0][None], (hh, ncx_, 128)).reshape(shape128)
+            hi_t = jnp.broadcast_to(luts_ref[r, :, 1][None], (hh, ncx_, 128)).reshape(shape128)
+            g_lo = jnp.take_along_axis(lo_t, idx128, axis=1)
+            g_hi = jnp.take_along_axis(hi_t, idx128, axis=1)
+            word = jnp.where(hi_side, g_hi, g_lo)[:, :hw]
+            l00 = (word & 255).astype(jnp.float32)
+            l01 = ((word >> 8) & 255).astype(jnp.float32)
+            l10 = ((word >> 16) & 255).astype(jnp.float32)
+            l11 = ((word >> 24) & 255).astype(jnp.float32)
+            top = l00 * (1.0 - xa) + l01 * xa
+            bot = l10 * (1.0 - xa) + l11 * xa
+            L2 = jnp.clip(jnp.round(top * (1.0 - ya) + bot * ya), 0.0, 255.0)
+            out_ref[0, r] = L2.astype(jnp.int32).astype(jnp.uint8).reshape(hh, ncx_, hw)
+            out_ref[1, r] = lab_ref[1, r]
+            out_ref[2, r] = lab_ref[2, r]
+
+    def inverse_only_kernel(lab_ref, out_ref):
+        # inverse Lab->RGB colorspace only (L passes through as L2)
+        rows = hh * ncx_
+        shape = (rows, hw)
+        for r in range(nb):
+            L2 = lab_ref[0, r].astype(jnp.int32).astype(jnp.float32).reshape(shape)
+            a8 = lab_ref[1, r].astype(jnp.int32).astype(jnp.float32).reshape(shape)
+            b8 = lab_ref[2, r].astype(jnp.int32).astype(jnp.float32).reshape(shape)
+            fy = (L2 * (100.0 / 255.0) + 16.0) / 116.0
+            fx = fy + (a8 - 128.0) / 500.0
+            fz = fy - (b8 - 128.0) / 200.0
+            Y = cg._lab_f_inv(fy)
+            X = cg._lab_f_inv(fx) * cg._XN
+            Z = cg._lab_f_inv(fz) * cg._ZN
+            m = cg._XYZ2RGB
+            for c in range(3):
+                ch = cg._linear_to_srgb(m[c][0] * X + m[c][1] * Y + m[c][2] * Z, True)
+                ch = jnp.round(jnp.clip(ch, 0.0, 1.0) * 255.0).astype(jnp.int32)
+                out_ref[c, r] = ch.astype(jnp.uint8).reshape(hh, ncx_, hw)
+
+    lab_specs = pl.BlockSpec(
+        (3, None, nb, hh, ncx_, hw), lambda i, j: (0, i, j, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs6 = pl.BlockSpec(
+        (3, None, nb, hh, ncx_, hw), lambda i, j: (0, i, j, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    labs6 = [l.reshape(3, B, ncy, hh, ncx_, hw) for l in labs]
+    luts_in = luts
+
+    @jax.jit
+    def lut_only(args):
+        lab6, lane_luts = args
+        wx = cg._blend_weights(hw)
+        wy = cg._blend_weights(hh)
+        xa_tab = jnp.asarray(wx[np.arange(ncx_) % 2])
+        ya_tab = jnp.asarray(np.ascontiguousarray(wy.T))
+        return pl.pallas_call(
+            lut_only_kernel,
+            grid=(B, ncy // nb),
+            in_specs=[
+                lab_specs,
+                pl.BlockSpec((None, nb, ncx_, 2, 128), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ncx_, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((hh, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs6,
+            out_shape=jax.ShapeDtypeStruct((3, B, ncy, hh, ncx_, hw), jnp.uint8),
+        )(lab6, lane_luts, xa_tab, ya_tab)
+
+    @jax.jit
+    def inverse_only(lab6):
+        return pl.pallas_call(
+            inverse_only_kernel,
+            grid=(B, ncy // nb),
+            in_specs=[lab_specs],
+            out_specs=out_specs6,
+            out_shape=jax.ShapeDtypeStruct((3, B, ncy, hh, ncx_, hw), jnp.uint8),
+        )(lab6)
+
+    from retinex_tpu.ops.clahe_fast import _blend_weights as _bw  # noqa: F401
+
+    measure("apply: lut+blend only", lut_only, list(zip(labs6, luts_in)), batch=B)
+    measure("apply: inverse colorspace only", inverse_only, labs6, batch=B)
+
+
+@exp("polyab")
+def run_polyab():
+    """Clean A/B: fwd stage with poly vs gather de-gamma, plus the full u8
+    pipeline, in one process (cross-run slope comparisons on axon are noise
+    — the round-3 sol reruns swung 27% with host load)."""
+    import retinex_tpu.ops.clahe_gather as cg
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(10)
+    ]
+    hh, hw = H // NCY, W // NCX
+
+    @jax.jit
+    def full(xp):
+        return cg.clahe_rgb_u8_planar_gather(xp)
+
+    @jax.jit
+    def fwd_poly(xp):
+        return cg._fwd_stage(xp.reshape(B, 3, NCY, hh, NCX, hw), poly=True)
+
+    @jax.jit
+    def fwd_gather(xp):
+        return cg._fwd_stage(xp.reshape(B, 3, NCY, hh, NCX, hw), poly=False)
+
+    labs = [fwd_poly(x) for x in xs]
+    area = (2 * hh) * (2 * hw)
+
+    @jax.jit
+    def tables_only(lab6):
+        return cg._tables_stage(lab6, 2.0, TILES, TILES, area)
+
+    luts = [tables_only(l) for l in labs]
+
+    @jax.jit
+    def apply_only(args):
+        lab6, lane_luts = args
+        return cg._apply_stage(lab6, lane_luts)
+
+    # interleave the two fwd variants so environment drift hits both equally
+    for rep in range(2):
+        measure(f"fwd poly   (rep {rep})", fwd_poly, xs)
+        measure(f"fwd gather (rep {rep})", fwd_gather, xs)
+    measure("tables", tables_only, labs, batch=B)
+    measure("apply (folded-gamma)", apply_only, list(zip(labs, luts)), batch=B)
+    measure("full u8 planar", full, xs)
+
+
+@exp("bigbatch")
+def run_bigbatch():
+    """Packed-model batch scaling after the MXU-matmul fusion upsamples:
+    does b16 fit now (round 2: 32-lane-minor interleaves padded 4-10x and
+    OOM'd), and where does fps/chip saturate?"""
+    from retinex_tpu.models.packed_inference import PackedRetinex
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+
+    dtype = jnp.bfloat16
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    pk = PackedRetinex(model, variables)
+
+    @jax.jit
+    def f(x):
+        return pk(x)[0]
+
+    rng = np.random.default_rng(0)
+    for b in (8, 12, 16):
+        try:
+            inputs = [
+                jnp.asarray(rng.random((b, H, W, 3), dtype=np.float32), dtype=dtype)
+                for _ in range(3)
+            ]
+            measure(f"packed full b{b}", f, inputs, batch=b)
+        except Exception as e:
+            print(f"packed full b{b}: FAILED {type(e).__name__}: {e}", flush=True)
 
 
 @exp("pallas_old")

@@ -152,3 +152,17 @@ def test_gamma_poly_accuracy():
     y64 = y.astype(np.float64)
     want = np.where(y64 <= 0.0031308, y64 * 12.92, 1.055 * y64 ** (1 / 2.4) - 0.055)
     assert np.abs(got - want).max() * 255 < 0.01
+
+
+def test_gamma255_poly_accuracy():
+    """_linear_to_srgb255_fast (affine + *255 folded into the poly) vs the
+    exact curve: under 0.01 u8 levels in the nonlinear region."""
+    from retinex_tpu.ops.clahe_gather import _linear_to_srgb255_fast
+
+    y = np.linspace(1e-7, 1.0, 200_001).astype(np.float32)
+    got = np.asarray(_linear_to_srgb255_fast(jnp.asarray(y)), np.float64)
+    y64 = y.astype(np.float64)
+    want = 255.0 * np.where(
+        y64 <= 0.0031308, y64 * 12.92, 1.055 * y64 ** (1 / 2.4) - 0.055
+    )
+    assert np.abs(got - want).max() < 0.01
