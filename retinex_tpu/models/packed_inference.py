@@ -75,6 +75,9 @@ class NetCfg:
     fam_tail_fold: bool = True    # fused FAM attention tail + fusion-slice fold
     packed_scale2: bool = True    # scale-2 tower evaluated in packed space
     dec1_chain: bool = False      # fused dec1 UpBlock chain (loses in-graph)
+    aspp_dots: bool = False       # ASPP dilated convs as shifted MXU dots
+    # (fusion 1x1 distributed over branches — no 1280-ch concat); default
+    # pending full-graph A/B (perf_lab netcfg, round 3)
 
     def resolve(self) -> "NetCfg":
         if os.environ.get("RETINEX_NO_FUSED"):
@@ -367,10 +370,81 @@ class PackedRetinex:
         """middle (enc2 -> inner -> dec2 + skip) with the /2 stages packed."""
         x2p = s2d(x2)
         x3 = self._enc2(x2p)
-        d3 = self.model.apply(
-            self.variables, x3, False, method=lambda m, a, t: m.ie_net.inner(a, t)
-        )
+        if self.cfg.aspp_dots and self.model.use_aspp:
+            d3 = self._inner_aspp_dots(x3)
+        else:
+            d3 = self.model.apply(
+                self.variables, x3, False, method=lambda m, a, t: m.ie_net.inner(a, t)
+            )
         return d2s(self._dec2(d3) + x2p)
+
+    def _inner_aspp_dots(self, x3):
+        """inner (enc3 -> bottleneck+ASPP -> dec3 + skip) with the ASPP
+        evaluated by `_aspp_dots` instead of the Flax module."""
+
+        def st(method):
+            return lambda a: self.model.apply(
+                self.variables, a, False, method=lambda m, v, t: method(m.ie_net, v, t)
+            )
+
+        x4 = st(lambda ie, a, t: ie.enc3(a, t))(x3)
+        x5 = st(lambda ie, a, t: ie.bottleneck1(a, t))(x4)
+        x5 = self._aspp_dots(x5)
+        x5 = st(lambda ie, a, t: ie.bottleneck2(a, t))(x5)
+        return st(lambda ie, a, t: ie.dec3(a, t))(x5) + x3
+
+    def _aspp_dots(self, x4):
+        """Inference ASPP as MXU matmuls (reference: models/model.py:181-251).
+
+        The dilated 3x3 branches (d=6/12/18 at /8) run as 9 shifted
+        [H*W,256]@[256,256] dots each — XLA's dilated-conv emitter measured
+        ~60 TF/s here (perf_lab `inner`) while plain dots run near peak. BN
+        affines fold into the kernels; the fusion 1x1 distributes over the 5
+        branches (fusion(cat(f_i)) == sum_i f_i @ W_i), so the 1280-channel
+        concat (170 MB bf16 at 1080p b2) is never materialized. Exact up to
+        float reassociation; Dropout is inference-identity."""
+        p, s = self.p["ie_net"]["aspp"], self.s["ie_net"]["aspp"]
+        dt = x4.dtype
+        b, hh, ww, c = x4.shape
+
+        def folded(name):
+            sc, bi = _bn_affine(p[name]["BatchNorm_0"], s[name]["BatchNorm_0"])
+            k = p[name]["Conv_0"]["kernel"] * sc
+            return k.astype(dt), bi
+
+        fk, f_bias = folded("fusion")  # [1,1,1280,256]
+        wf = [fk[0, 0, 256 * i : 256 * (i + 1), :] for i in range(5)]
+
+        def dot(v, w):
+            return jax.lax.dot_general(
+                v.reshape(-1, v.shape[-1]), w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(*v.shape[:-1], w.shape[-1])
+
+        def brelu(v, bias):
+            return jax.nn.relu(v + bias.astype(jnp.float32)).astype(dt)
+
+        k1, b1 = folded("conv1x1")
+        acc = dot(brelu(dot(x4, k1[0, 0]), b1), wf[0]).astype(jnp.float32)
+
+        for i, d in enumerate((6, 12, 18)):
+            kd, bd = folded(f"aspp_branch{i}")
+            xp = jnp.pad(x4, ((0, 0), (d, d), (d, d), (0, 0)))
+            br = None
+            for u in range(3):
+                for v in range(3):
+                    sl = xp[:, u * d : u * d + hh, v * d : v * d + ww, :]
+                    t = dot(sl, kd[u, v])
+                    br = t if br is None else br + t
+            acc = acc + dot(brelu(br, bd), wf[i + 1]).astype(jnp.float32)
+
+        kg, bg = folded("global_pool_conv")
+        gap = x4.mean(axis=(1, 2), keepdims=True)
+        gap = dot(brelu(dot(gap, kg[0, 0]), bg), wf[4]).astype(jnp.float32)
+        acc = acc + gap  # bilinear upsample of a [b,1,1,c] map == broadcast
+
+        return jax.nn.relu(acc + f_bias.astype(jnp.float32)).astype(dt)
 
     def _fam_packed(self, xp, fw, c=32, fold_kernel=None):
         """EnhancedFAM on packed [*, 4c] input; fw = a `_pack_fam` bundle.

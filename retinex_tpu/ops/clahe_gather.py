@@ -272,7 +272,7 @@ def _apply_kernel(hh, hw, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_r
                 out_ref[c, r] = ch.astype(jnp.uint8).reshape(hh, ncx, hw)
 
 
-def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref, poly=True):
+def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref, poly=False):
     """Forward colorspace: planar u8 sRGB -> 8-bit-scale Lab u8, nb row bands.
 
     rgb_ref: [3, nb, hh, ncx, hw] uint8; dg_ref: [2, 128] f32 (sRGB de-gamma
@@ -289,9 +289,10 @@ def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref, poly=True):
     shape = (rows, hw)
     shape128 = (rows, 128)
     if fastmath and poly:
-        # Polynomial de-gamma: ~13 VPU ops/channel vs 2 gathers + select.
-        # dg_ref stays an operand (1 KB) but is unread. `poly=False` keeps
-        # the gather form for perf_lab A/B (`polyab`).
+        # Polynomial de-gamma. MEASURED ~2x SLOWER than the gather form on
+        # v5e (perf_lab `polyab`, interleaved reps: sqrt is a multi-pass VPU
+        # op and same-shape gathers cost only ~3.2 ps/elem) — kept for the
+        # record with default poly=False.
         def degamma(vals):
             v = vals.astype(jnp.int32).astype(jnp.float32).reshape(shape)
             return _degamma_poly(v)
@@ -412,7 +413,7 @@ def clahe_rgb_u8_planar_gather(
     return rgbp.reshape(b, 3, h, w)
 
 
-def _fwd_stage(rgb6: jnp.ndarray, interpret: bool = False, poly: bool = True) -> jnp.ndarray:
+def _fwd_stage(rgb6: jnp.ndarray, interpret: bool = False, poly: bool = False) -> jnp.ndarray:
     """[b, 3, ncy, hh, ncx, hw] u8 sRGB -> [3, b, ncy, hh, ncx, hw] u8 Lab.
 
     The Lab intermediate is CHANNEL-LEADING [3, b, ...] so the histogram stage

@@ -970,12 +970,13 @@ def run_net():
 
 @exp("netstages")
 def run_netstages():
-    """Bisect the PACKED model: where do the 120.6 ms/batch(2) go?"""
+    """Bisect the PACKED model: where does the time go?
+    RETINEX_PERF_BATCH overrides the batch (default 2)."""
     from retinex_tpu.models.packed_inference import PackedRetinex
     from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
     from retinex_tpu.ops.s2d import s2d
 
-    batch = 2
+    batch = int(os.environ.get("RETINEX_PERF_BATCH", "2"))
     dtype = jnp.bfloat16
     model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
@@ -1210,6 +1211,7 @@ def run_netcfg():
         measure(f"full {name}", f, inputs, batch=batch)
 
     run_with("default")                                 # famconv + folded tail
+    run_with("aspp-dots", aspp_dots=True)
     run_with("xla-tail", fam_tail_fold=False)           # famconv, XLA tail
     run_with("no-fused", fam_conv_fused=False, fam_tail_fold=False)
     run_with("dec1-chain", dec1_chain=True)
@@ -1664,7 +1666,7 @@ def run_bigbatch():
         return pk(x)[0]
 
     rng = np.random.default_rng(0)
-    for b in (8, 12, 16):
+    for b in tuple(int(v) for v in os.environ.get("RETINEX_PERF_BATCHES", "8,12,16").split(",")):
         try:
             inputs = [
                 jnp.asarray(rng.random((b, H, W, 3), dtype=np.float32), dtype=dtype)
@@ -1673,6 +1675,64 @@ def run_bigbatch():
             measure(f"packed full b{b}", f, inputs, batch=b)
         except Exception as e:
             print(f"packed full b{b}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+@exp("mathops")
+def run_mathops():
+    """Per-op VPU cost via interleaved chained kernels: which ops are
+    multi-pass on Mosaic (sqrt? select? casts? round?). Chains use serial
+    dependencies; cost = slope between k=2 and k=10 per element."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NROW, LANES, GRID = 512, 128, 136
+    total = NROW * LANES * GRID
+
+    def run_chain(body, k, arr):
+        def kern(x_ref, o_ref):
+            x = x_ref[...]
+            for _ in range(k):
+                x = body(x)
+            o_ref[...] = x
+
+        return pl.pallas_call(
+            kern,
+            grid=(GRID,),
+            in_specs=[pl.BlockSpec((NROW, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((NROW, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((NROW * GRID, LANES), arr.dtype),
+        )(arr)
+
+    rng = np.random.default_rng(0)
+    fbuf = [
+        jnp.asarray(rng.random((NROW * GRID, LANES), dtype=np.float32) + 0.5)
+        for _ in range(4)
+    ]
+
+    bodies = {
+        "mul-add (logistic)": lambda x: x * (1.0 - x),
+        "sqrt": lambda x: jnp.sqrt(x + 1.0),
+        "rsqrt": lambda x: jax.lax.rsqrt(x + 1.0),
+        "where-select": lambda x: jnp.where(x > 0.5, x * 0.5, x + 0.25),
+        "round": lambda x: jnp.round(x) * 0.3 + x * 0.1,
+        "f32<->i32 cast pair": lambda x: (x.astype(jnp.int32).astype(jnp.float32) + x) * 0.5,
+        "exp": lambda x: jnp.exp(-x),
+        "reciprocal": lambda x: 1.0 / (x + 1.0),
+    }
+
+    results = {}
+    for name, body in bodies.items():
+        ts = {}
+        for k in (2, 10):
+            f = jax.jit(ft.partial(run_chain, body, k))
+            ts[k] = measure(f"{name} k={k}", f, fbuf, batch=8)
+        ps = (ts[10] - ts[2]) / 8 / total * 1e12
+        results[name] = ps
+    print("--- ps/elem per op application ---", flush=True)
+    for name, ps in results.items():
+        print(f"{name:24s} {ps:7.2f} ps/elem", flush=True)
 
 
 @exp("pallas_old")
