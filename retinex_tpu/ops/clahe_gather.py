@@ -119,15 +119,34 @@ _SRGB_GAMMA255_POLY = (
 )
 
 
-def _linear_to_srgb255_fast(x):
-    """255 * (sRGB gamma of linear x), fast-math: poly in x^(1/4) with the
-    affine + output scale pre-folded (3 fewer ops/channel than
-    _linear_to_srgb followed by *255)."""
+def _linear_to_srgb255_fast(x, newton=True):
+    """255 * (sRGB gamma of linear x), fast-math, two sqrt-free variants.
+
+    sqrt is a multi-pass Mosaic op (~15-20 issue slots measured via the
+    round-3 polyab interleaved A/B and the mathops chain), so the default
+    computes y^(1/2.4) = y * (y^(-1/12))^7 with a bit-trick seed + 3
+    division-free Newton steps on w = y^(-1/12) (w' = w(13 - y*w^12)/12) —
+    ~35 cheap mul/adds, max err 0.0004 u8 levels over [0.0031308, 1]
+    (verified in tests/test_clahe_gather.py). newton=False keeps the
+    2-sqrt + degree-6 polynomial form for A/B."""
     x = jnp.maximum(x, 1e-12)
-    u = jnp.sqrt(jnp.sqrt(x))
-    g = _SRGB_GAMMA255_POLY[0]
-    for c in _SRGB_GAMMA255_POLY[1:]:
-        g = g * u + c
+    if newton:
+        xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+        twelfth = (xi.astype(jnp.float32) * (1.0 / 12.0)).astype(jnp.int32)
+        w = jax.lax.bitcast_convert_type(jnp.int32(0x44C4902A) - twelfth, jnp.float32)
+        for _ in range(3):
+            w2 = w * w
+            w4 = w2 * w2
+            w12 = w4 * w4 * w4
+            w = w * (13.0 - x * w12) * (1.0 / 12.0)
+        w2 = w * w
+        g = x * (w2 * w2 * w2 * w)  # x * w^7 = x^(5/12)
+        g = (1.055 * 255.0) * g - (0.055 * 255.0)
+    else:
+        u = jnp.sqrt(jnp.sqrt(x))
+        g = _SRGB_GAMMA255_POLY[0]
+        for c in _SRGB_GAMMA255_POLY[1:]:
+            g = g * u + c
     return jnp.where(x <= 0.0031308, x * (12.92 * 255.0), g)
 
 
@@ -183,7 +202,8 @@ def gather_supported(h: int, w: int, tiles_y: int, tiles_x: int) -> bool:
     return w // (2 * tiles_x) <= 128
 
 
-def _apply_kernel(hh, hw, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
+def _apply_kernel(hh, hw, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_ref,
+                  newton=True):
     """One program = `nb` half-tile row bands of one image (nb EVEN so the
     cell-y parity of band r inside the block is statically r % 2; many tiny
     band programs measured overhead-bound — see BENCH_NOTES.md round 2).
@@ -259,7 +279,9 @@ def _apply_kernel(hh, hw, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_r
             Z = _lab_f_inv(fz)
             m = _XYZ2RGB_SCALED
             for c in range(3):
-                ch = _linear_to_srgb255_fast(m[c][0] * X + m[c][1] * Y + m[c][2] * Z)
+                ch = _linear_to_srgb255_fast(
+                    m[c][0] * X + m[c][1] * Y + m[c][2] * Z, newton=newton
+                )
                 ch = jnp.round(jnp.clip(ch, 0.0, 255.0)).astype(jnp.int32)
                 out_ref[c, r] = ch.astype(jnp.uint8).reshape(hh, ncx, hw)
         else:
@@ -508,7 +530,8 @@ def _tables_stage(
 
 
 def _apply_stage(
-    lab6: jnp.ndarray, lane_luts: jnp.ndarray, interpret: bool = False
+    lab6: jnp.ndarray, lane_luts: jnp.ndarray, interpret: bool = False,
+    newton: bool = True,
 ) -> jnp.ndarray:
     """LUT apply + inverse colorspace over row bands: [3, b, ncy, hh, ncx, hw]
     u8 Lab + packed lane tables -> [b, 3, ncy, hh, ncx, hw] u8 RGB."""
@@ -521,7 +544,7 @@ def _apply_stage(
     ya_tab = jnp.asarray(np.ascontiguousarray(wy.T))  # [hh, 2]
 
     rgbp = pl.pallas_call(
-        functools.partial(_apply_kernel, hh, hw, fastmath, nb),
+        functools.partial(_apply_kernel, hh, hw, fastmath, nb, newton=newton),
         grid=(b, ncy // nb),
         in_specs=[
             pl.BlockSpec(

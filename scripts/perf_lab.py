@@ -1735,6 +1735,66 @@ def run_mathops():
         print(f"{name:24s} {ps:7.2f} ps/elem", flush=True)
 
 
+@exp("gammaab")
+def run_gammaab():
+    """Interleaved A/B: apply stage with Newton 12th-root gamma (sqrt-free)
+    vs the 2-sqrt poly form, plus the full pipeline with the winner."""
+    import retinex_tpu.ops.clahe_gather as cg
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(10)
+    ]
+    hh, hw = H // NCY, W // NCX
+
+    @jax.jit
+    def fwd(xp):
+        return cg._fwd_stage(xp.reshape(B, 3, NCY, hh, NCX, hw))
+
+    labs = [fwd(x) for x in xs]
+    area = (2 * hh) * (2 * hw)
+
+    @jax.jit
+    def tables_only(lab6):
+        return cg._tables_stage(lab6, 2.0, TILES, TILES, area)
+
+    luts = [tables_only(l) for l in labs]
+    pairs = list(zip(labs, luts))
+
+    @jax.jit
+    def apply_newton(args):
+        lab6, lane_luts = args
+        return cg._apply_stage(lab6, lane_luts, newton=True)
+
+    @jax.jit
+    def apply_sqrt(args):
+        lab6, lane_luts = args
+        return cg._apply_stage(lab6, lane_luts, newton=False)
+
+    for rep in range(2):
+        measure(f"apply newton (rep {rep})", apply_newton, pairs, batch=B)
+        measure(f"apply 2-sqrt (rep {rep})", apply_sqrt, pairs, batch=B)
+
+    @jax.jit
+    def full(xp):
+        return cg.clahe_rgb_u8_planar_gather(xp)
+
+    measure("full u8 planar (newton)", full, xs)
+
+    xs_f32 = [
+        jnp.asarray(rng.random((B, H, W, 3), dtype=np.float32) * 0.6)
+        for _ in range(6)
+    ]
+
+    @jax.jit
+    def full_f32(x):
+        return cg.clahe_lab_rgb_gather(x)
+
+    measure("full f32 (newton)", full_f32, xs_f32)
+
+
 @exp("pallas_old")
 def run_pallas_old():
     from retinex_tpu.ops.clahe_pallas import clahe_lab_rgb_pallas
