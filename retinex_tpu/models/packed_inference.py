@@ -78,6 +78,14 @@ class NetCfg:
     aspp_dots: bool = False       # ASPP dilated convs as shifted MXU dots
     # (fusion 1x1 distributed over branches — no 1280-ch concat); default
     # pending full-graph A/B (perf_lab netcfg, round 3)
+    planar_sa: bool = True        # FAM spatial-attention conv in planar
+    # [b,c,h,w] layout (channel-minor [*,8]/[*,4] tensors tile T(8,128) and
+    # pad 16-32x in HBM — a 95 MB sa map allocates 3 GB at b24). Full-graph
+    # A/B (netcfg/bigbatch, round 3): b2 104.2 vs 103.9 ms (noise), b4 179.4
+    # vs 181.3, b8 240 vs 255, b16 470 vs ~490 — default ON.
+    ups_mode: int = 0             # s2d_upsample_mxu einsum formulation
+    # (0 transpose-form, 1/2 free-reshape output orders — see ops/s2d.py);
+    # pending full-graph A/B at b8/b16 where the 2-3 GB relayout copies bite
 
     def resolve(self) -> "NetCfg":
         if os.environ.get("RETINEX_NO_FUSED"):
@@ -366,6 +374,36 @@ class PackedRetinex:
             y = jax.nn.relu(_affine(y, sc, bi, tile=True))
         return y
 
+    @staticmethod
+    def _sa_planar(avg_map, max_map, k_sa, b_sa):
+        """The packed 7x7 SA conv in planar [b, c, h, w] layout.
+
+        The channel-minor form round-trips [*,8] and [*,4] tensors through
+        T(8,128)-tiled HBM (16x/32x padding; ~4 GB of padding traffic per b8
+        batch, and the b24 OOM's single largest allocation). Planar keeps
+        lanes = w (unpadded); the conv runs as kp*kp shifted [8->4] channel
+        contractions fused over the planes. Exact up to reassociation."""
+        b_, hh, ww, _ = avg_map.shape
+        # [b, 8, h, w] with channel order matching stack([avg,max],-1).reshape:
+        # (q0a, q0m, q1a, q1m, ...) — build by interleaved stack then transpose.
+        sa_in = jnp.stack([avg_map, max_map], axis=-1).reshape(b_, hh, ww, 8)
+        sp = sa_in.transpose(0, 3, 1, 2)  # [b, 8, h, w]
+        kp = k_sa.shape[0]
+        p_lo, p_hi = kp // 2, kp - 1 - kp // 2
+        sp = jnp.pad(sp, ((0, 0), (0, 0), (p_lo, p_hi), (p_lo, p_hi)))
+        acc = None
+        for u in range(kp):
+            for v in range(kp):
+                sl = sp[:, :, u : u + hh, v : v + ww]
+                t = jnp.einsum(
+                    "bchw,co->bohw", sl, k_sa[u, v].astype(sl.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = t if acc is None else acc + t
+        reps = 4 // b_sa.shape[0]
+        acc = acc + jnp.tile(b_sa, reps).astype(jnp.float32)[None, :, None, None]
+        return jax.nn.sigmoid(acc).transpose(0, 2, 3, 1).astype(avg_map.dtype)
+
     def _middle_packed(self, x2):
         """middle (enc2 -> inner -> dec2 + skip) with the /2 stages packed."""
         x2p = s2d(x2)
@@ -454,8 +492,13 @@ class PackedRetinex:
         kernel on TPU so the big tensor flows custom-call-to-custom-call.
         """
         k, bset = fw["k"], fw["b"]
+        # Batch-aware: the whole-FAM kernel wins ~3 ms at b2 (netcfg) but
+        # LOSES 51 ms at b8 (306.9 vs 255.4 ms, netcfg b8 round 3) — XLA's
+        # conv emitters pipeline across the batch while the custom call
+        # serializes it. Same pattern as the tail kernels below.
         if (
             self.cfg.fam_conv_fused
+            and xp.shape[0] <= 2
             and jax.devices()[0].platform != "cpu"
             and fam_conv_supported(xp.shape)
         ):
@@ -491,11 +534,14 @@ class PackedRetinex:
         ca = jax.nn.sigmoid(ca)
 
         # Next to the famconv custom call with the fusion slice folded in,
-        # the tail kernels win (the surrounding-XLA-conv layout penalty that
-        # made them lose standalone is gone); without a fold target the XLA
-        # tail wins and is used.
+        # the tail kernels win at SMALL batch (b2: 104.5 vs 105.0 ms,
+        # netcfg); at throughput batches they LOSE big (b8: 131.5 vs 114.0
+        # ms, netstages round 3 — the tail custom calls break XLA's
+        # cross-batch pipelining of the attention chain). Batch-aware gate:
+        # fold only at batch <= 2.
         use_tail_kernels = (
             self.cfg.fam_tail_fold
+            and out.shape[0] <= 2
             and fold_kernel is not None
             and jax.devices()[0].platform != "cpu"
             and fam_tail_supported(out.shape)
@@ -518,8 +564,11 @@ class PackedRetinex:
         blocks = out.reshape(b_, hh, ww, 4, c)
         avg_map = blocks.mean(axis=-1)  # [b,h,w,4]
         max_map = blocks.max(axis=-1)
-        sa_in = jnp.stack([avg_map, max_map], axis=-1).reshape(b_, hh, ww, 8)
-        sa = jax.nn.sigmoid(_conv_auto(sa_in, k["sa_conv"], bias=bset["sa_conv"]))
+        if self.cfg.planar_sa:
+            sa = self._sa_planar(avg_map, max_map, k["sa_conv"], bset["sa_conv"])
+        else:
+            sa_in = jnp.stack([avg_map, max_map], axis=-1).reshape(b_, hh, ww, 8)
+            sa = jax.nn.sigmoid(_conv_auto(sa_in, k["sa_conv"], bias=bset["sa_conv"]))
         res = (blocks * sa[..., None]).reshape(b_, hh, ww, 4 * c)
         if fold_kernel is not None:
             res = _conv(res, fold_kernel)
@@ -627,8 +676,8 @@ class PackedRetinex:
             g3 = _conv(f3, self.w_fusion_f3)
             fused = (
                 g1
-                + s2d_upsample_mxu(g2, 4).astype(g1.dtype)
-                + s2d_upsample_mxu(g3, 16).astype(g1.dtype)
+                + s2d_upsample_mxu(g2, 4, mode=self.cfg.ups_mode).astype(g1.dtype)
+                + s2d_upsample_mxu(g3, 16, mode=self.cfg.ups_mode).astype(g1.dtype)
                 + _tile4(self.b_fusion).astype(g1.dtype)
             )
         else:  # shapes that don't refold exactly: the direct (resize) form

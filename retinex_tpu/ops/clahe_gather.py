@@ -119,16 +119,16 @@ _SRGB_GAMMA255_POLY = (
 )
 
 
-def _linear_to_srgb255_fast(x, newton=True):
+def _linear_to_srgb255_fast(x, newton=False):
     """255 * (sRGB gamma of linear x), fast-math, two sqrt-free variants.
 
-    sqrt is a multi-pass Mosaic op (~15-20 issue slots measured via the
-    round-3 polyab interleaved A/B and the mathops chain), so the default
-    computes y^(1/2.4) = y * (y^(-1/12))^7 with a bit-trick seed + 3
-    division-free Newton steps on w = y^(-1/12) (w' = w(13 - y*w^12)/12) —
-    ~35 cheap mul/adds, max err 0.0004 u8 levels over [0.0031308, 1]
-    (verified in tests/test_clahe_gather.py). newton=False keeps the
-    2-sqrt + degree-6 polynomial form for A/B."""
+    MEASURED VERDICT (gammaab, interleaved reps at b8): the Newton
+    12th-root form (bit-trick seed + 3 division-free steps, ~35 mul/adds,
+    max err 0.0004 u8 levels) LOSES 2x to the 2-sqrt + degree-6 poly
+    (1.69 vs 0.81 ms apply stage): its w2->w4->w12->w' chains are serially
+    dependent and latency-bound, while the two sqrts pipeline fine across
+    the many independent element vectors. Default is the sqrt+poly form;
+    newton=True kept for the record."""
     x = jnp.maximum(x, 1e-12)
     if newton:
         xi = jax.lax.bitcast_convert_type(x, jnp.int32)
@@ -203,7 +203,7 @@ def gather_supported(h: int, w: int, tiles_y: int, tiles_x: int) -> bool:
 
 
 def _apply_kernel(hh, hw, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_ref,
-                  newton=True):
+                  newton=False):
     """One program = `nb` half-tile row bands of one image (nb EVEN so the
     cell-y parity of band r inside the block is statically r % 2; many tiny
     band programs measured overhead-bound — see BENCH_NOTES.md round 2).
@@ -531,7 +531,7 @@ def _tables_stage(
 
 def _apply_stage(
     lab6: jnp.ndarray, lane_luts: jnp.ndarray, interpret: bool = False,
-    newton: bool = True,
+    newton: bool = False,
 ) -> jnp.ndarray:
     """LUT apply + inverse colorspace over row bands: [3, b, ncy, hh, ncx, hw]
     u8 Lab + packed lane tables -> [b, 3, ncy, hh, ncx, hw] u8 RGB."""
@@ -569,6 +569,228 @@ def _apply_stage(
         interpret=interpret,
     )(lab6, lane_luts, xa_tab, ya_tab)
     return rgbp
+
+
+def _fwd_kernel5(nb, fastmath, rgb_ref, dg_ref, out_ref, poly=False):
+    """5D-layout forward colorspace: planar u8 sRGB -> 8-bit Lab, nb row bands.
+
+    Identical math to :func:`_fwd_kernel`, but blocks are [3, nb, rows, hw]
+    with rows = hh * ncx pre-merged OUTSIDE the kernel: the 6D blocks' minor
+    dims (ncx=16, hw=120) tile to (32, 128) in u8 — 2.13x padded in HBM/VMEM
+    and every in-kernel [hh, ncx, hw] -> [rows, hw] merge is a relayout on
+    padded sublanes. The 5D blocks' (rows=1088, hw=120) minor dims tile with
+    only the 120 -> 128 lane pad and need no in-kernel reshapes.
+    """
+    rows, hw = rgb_ref.shape[2], rgb_ref.shape[3]
+    shape = (rows, hw)
+    shape128 = (rows, 128)
+    lo_t = jnp.broadcast_to(dg_ref[0][None], shape128)
+    hi_t = jnp.broadcast_to(dg_ref[1][None], shape128)
+
+    def degamma(vals):
+        v = vals.astype(jnp.int32)
+        v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
+        hi_side = v128 >= 128
+        idx = jnp.where(hi_side, v128 - 128, v128)
+        g = jnp.where(
+            hi_side,
+            jnp.take_along_axis(hi_t, idx, axis=1),
+            jnp.take_along_axis(lo_t, idx, axis=1),
+        )
+        return g[:, :hw]
+
+    def lab_f(t):
+        t_pos = jnp.maximum(t, 1e-12)
+        cuberoot = _fast_cbrt(t_pos) if fastmath else jnp.cbrt(t_pos)
+        return jnp.where(t > 0.008856, cuberoot, 7.787 * t + 16.0 / 116.0)
+
+    for band in range(nb):
+        r, g, b_ = (degamma(rgb_ref[c, band]) for c in range(3))
+        m = _RGB2XYZ_T
+        X = (m[0][0] * r + m[0][1] * g + m[0][2] * b_) / _XN
+        Y = m[1][0] * r + m[1][1] * g + m[1][2] * b_
+        Z = (m[2][0] * r + m[2][1] * g + m[2][2] * b_) / _ZN
+
+        fx, fy, fz = lab_f(X), lab_f(Y), lab_f(Z)
+        L8 = (116.0 * fy - 16.0) * (255.0 / 100.0)
+        a8 = 500.0 * (fx - fy) + 128.0
+        b8 = 200.0 * (fy - fz) + 128.0
+        for c, ch in enumerate((L8, a8, b8)):
+            q = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(jnp.int32)
+            out_ref[c, band] = q.astype(jnp.uint8)
+
+
+def _apply_kernel5(ncx, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_ref):
+    """5D-layout LUT apply + inverse colorspace (math of :func:`_apply_kernel`).
+
+    lab_ref:  [3, nb, rows, hw] uint8 Lab (rows = hh * ncx, sublane r is
+              cell-x r % ncx of in-cell row r // ncx)
+    luts_ref: [nb, ncx, 2, 128] int32 packed neighbour LUTs
+    xa_ref:   [rows, hw] f32 — xa blend weight, pre-expanded in XLA
+    ya_ref:   [rows, 2] f32 — ya by (row, cell-y parity), pre-expanded
+    out_ref:  [3, nb, rows, hw] uint8 RGB
+    """
+    rows, hw = lab_ref.shape[2], lab_ref.shape[3]
+    shape = (rows, hw)
+    shape128 = (rows, 128)
+    hh = rows // ncx
+    xa = xa_ref[...]
+
+    for r in range(nb):
+        v = lab_ref[0, r].astype(jnp.int32)
+
+        if nb % 2 == 0:
+            ya2 = ya_ref[:, (r % 2) : (r % 2) + 1]  # [rows, 1], parity static
+        else:
+            cy = pl.program_id(1) * nb + r
+            ya2 = jnp.where(cy % 2 == 0, ya_ref[:, 0:1], ya_ref[:, 1:2])
+        ya = jnp.broadcast_to(ya2, shape)
+
+        v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
+        hi_side = v128 >= 128
+        idx128 = jnp.where(hi_side, v128 - 128, v128)
+
+        lo_t = jnp.broadcast_to(luts_ref[r, :, 0][None], (hh, ncx, 128)).reshape(shape128)
+        hi_t = jnp.broadcast_to(luts_ref[r, :, 1][None], (hh, ncx, 128)).reshape(shape128)
+        g_lo = jnp.take_along_axis(lo_t, idx128, axis=1)
+        g_hi = jnp.take_along_axis(hi_t, idx128, axis=1)
+        word = jnp.where(hi_side, g_hi, g_lo)[:, :hw]
+        l00 = (word & 255).astype(jnp.float32)
+        l01 = ((word >> 8) & 255).astype(jnp.float32)
+        l10 = ((word >> 16) & 255).astype(jnp.float32)
+        l11 = ((word >> 24) & 255).astype(jnp.float32)
+
+        top = l00 * (1.0 - xa) + l01 * xa
+        bot = l10 * (1.0 - xa) + l11 * xa
+        L2 = jnp.clip(jnp.round(top * (1.0 - ya) + bot * ya), 0.0, 255.0)
+
+        a8 = lab_ref[1, r].astype(jnp.int32).astype(jnp.float32)
+        b8 = lab_ref[2, r].astype(jnp.int32).astype(jnp.float32)
+        fy = (L2 * (100.0 / 255.0) + 16.0) / 116.0
+        fx = fy + (a8 - 128.0) / 500.0
+        fz = fy - (b8 - 128.0) / 200.0
+        Y = _lab_f_inv(fy)
+        if fastmath:
+            X = _lab_f_inv(fx)
+            Z = _lab_f_inv(fz)
+            m = _XYZ2RGB_SCALED
+            for c in range(3):
+                ch = _linear_to_srgb255_fast(m[c][0] * X + m[c][1] * Y + m[c][2] * Z)
+                ch = jnp.round(jnp.clip(ch, 0.0, 255.0)).astype(jnp.int32)
+                out_ref[c, r] = ch.astype(jnp.uint8)
+        else:
+            X = _lab_f_inv(fx) * _XN
+            Z = _lab_f_inv(fz) * _ZN
+            m = _XYZ2RGB
+            for c in range(3):
+                ch = _linear_to_srgb(m[c][0] * X + m[c][1] * Y + m[c][2] * Z, fastmath)
+                ch = jnp.round(jnp.clip(ch, 0.0, 1.0) * 255.0).astype(jnp.int32)
+                out_ref[c, r] = ch.astype(jnp.uint8)
+
+
+def _fwd_stage5(rgb5: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """[b, 3, ncy, rows, hw] u8 sRGB -> [3, b, ncy, rows, hw] u8 Lab."""
+    b, _, ncy, rows, hw = rgb5.shape
+    dg_vals = srgb_to_linear(jnp.arange(HIST_SIZE, dtype=jnp.float32) / 255.0)
+    dg_tab = dg_vals.reshape(2, 128)
+    fastmath = not interpret
+    nb = _pick_bands(ncy)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel5, nb, fastmath),
+        grid=(b, ncy // nb),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 3, nb, rows, hw),
+                lambda i, j: (i, 0, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, None, nb, rows, hw),
+            lambda i, j: (0, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, b, ncy, rows, hw), jnp.uint8),
+        interpret=interpret,
+    )(rgb5, dg_tab)
+
+
+def _apply_stage5(
+    lab5: jnp.ndarray, lane_luts: jnp.ndarray, ncx: int, interpret: bool = False
+) -> jnp.ndarray:
+    """[3, b, ncy, rows, hw] u8 Lab + packed tables -> [b, 3, ncy, rows, hw] u8."""
+    _, b, ncy, rows, hw = lab5.shape
+    hh = rows // ncx
+    fastmath = not interpret
+    nb = _pick_bands(ncy)
+    wx = _blend_weights(hw)  # [2, hw]
+    wy = _blend_weights(hh)  # [2, hh]
+    # Pre-expanded blend weights: [rows, hw] and [rows, 2] (one 0.5 MB
+    # constant beats per-band broadcast+reshape inside the kernel).
+    xa_full = jnp.asarray(
+        np.broadcast_to(wx[np.arange(ncx) % 2][None], (hh, ncx, hw)).reshape(rows, hw)
+    )
+    ya_full = jnp.asarray(
+        np.broadcast_to(wy.T[:, None, :], (hh, ncx, 2)).reshape(rows, 2)
+    )
+
+    return pl.pallas_call(
+        functools.partial(_apply_kernel5, ncx, fastmath, nb),
+        grid=(b, ncy // nb),
+        in_specs=[
+            pl.BlockSpec(
+                (3, None, nb, rows, hw),
+                lambda i, j: (0, i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, nb, ncx, 2, 128),
+                lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((rows, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 3, nb, rows, hw),
+            lambda i, j: (i, 0, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 3, ncy, rows, hw), jnp.uint8),
+        interpret=interpret,
+    )(lab5, lane_luts, xa_full, ya_full)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
+)
+def clahe_rgb_u8_planar_gather5(
+    xp_u8: jnp.ndarray,
+    clip_limit: float = 2.0,
+    tiles_x: int = 8,
+    tiles_y: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """5D-layout planar uint8 pipeline: [B, 3, H, W] -> [B, 3, H, W].
+
+    Same math as :func:`clahe_rgb_u8_planar_gather`; kernels stream
+    [*, rows, hw] blocks (see `_fwd_kernel5` for why)."""
+    b, _, h, w = xp_u8.shape
+    if not gather_supported(h, w, tiles_y, tiles_x):
+        raise ValueError(f"shape {(h, w)} unsupported by the gather kernel")
+    ncy, ncx = 2 * tiles_y, 2 * tiles_x
+    hh, hw = h // ncy, w // ncx
+    rows = hh * ncx
+    area = (2 * hh) * (2 * hw)
+
+    rgb5 = xp_u8.reshape(b, 3, ncy, rows, hw)
+    lab5 = _fwd_stage5(rgb5, interpret)
+    lab5 = jax.lax.optimization_barrier(lab5)
+    lab6 = lab5.reshape(3, b, ncy, hh, ncx, hw)
+    lane_luts = _tables_stage(lab6, clip_limit, tiles_y, tiles_x, area)
+    rgbp = _apply_stage5(lab5, lane_luts, ncx, interpret)
+    return rgbp.reshape(b, 3, h, w)
 
 
 @functools.partial(

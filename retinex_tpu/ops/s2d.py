@@ -276,7 +276,7 @@ def _phase_matrix(n_out: int, n_in: int, factor: int, quadrant: int) -> jnp.ndar
     return jnp.asarray(rows)
 
 
-def s2d_upsample_mxu(g: jnp.ndarray, factor: int) -> jnp.ndarray:
+def s2d_upsample_mxu(g: jnp.ndarray, factor: int, mode: int = 0) -> jnp.ndarray:
     """`s2d_upsample` as four separable matrix products on the MXU.
 
     The phase-interleave form materializes 32-lane-minor intermediates that
@@ -286,6 +286,14 @@ def s2d_upsample_mxu(g: jnp.ndarray, factor: int) -> jnp.ndarray:
     interpolation matrices turns it into dense matmul work XLA schedules
     well. Same math up to f32-accumulation rounding.
     g: [B, h, w, C] -> [B, factor*h/2, factor*w/2, 4C] (quadrant-major).
+
+    mode selects the einsum/transpose formulation (exact same values; the
+    b24 OOM dump shows mode 0's transpose+reshape paying TWO full relayout
+    copies of the ~3 GB output — modes 1/2 order the einsum output so the
+    channel merge (a, d, c) -> 4C is a free reshape):
+    0: abpjc / abdpqc + transpose(1,3,4,0,2,5)  (round-2 form)
+    1: bpajc / bpqadc + free reshape
+    2: one 3-operand einsum api,dqj,bijc->bpqadc + free reshape
     """
     assert factor % 2 == 0 and factor >= 2
     b, h, w, c = g.shape
@@ -293,6 +301,16 @@ def s2d_upsample_mxu(g: jnp.ndarray, factor: int) -> jnp.ndarray:
     ay = jnp.stack([_phase_matrix(hp, h, factor, q) for q in (0, 1)])  # [2,hp,h]
     ax = jnp.stack([_phase_matrix(wp, w, factor, q) for q in (0, 1)])  # [2,wp,w]
     dt = g.dtype
+    if mode == 1:
+        t = jnp.einsum("api,bijc->bpajc", ay.astype(dt), g,
+                       preferred_element_type=jnp.float32).astype(dt)
+        o = jnp.einsum("dqj,bpajc->bpqadc", ax.astype(dt), t,
+                       preferred_element_type=jnp.float32).astype(dt)
+        return o.reshape(b, hp, wp, 4 * c)
+    if mode == 2:
+        o = jnp.einsum("api,dqj,bijc->bpqadc", ay.astype(dt), ax.astype(dt), g,
+                       preferred_element_type=jnp.float32).astype(dt)
+        return o.reshape(b, hp, wp, 4 * c)
     # rows: [2(a), B, hp, w, C]; cols then quadrant-major channel concat.
     t = jnp.einsum("api,bijc->abpjc", ay.astype(dt), g,
                    preferred_element_type=jnp.float32).astype(dt)

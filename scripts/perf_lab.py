@@ -1187,11 +1187,12 @@ def run_inner():
 
 @exp("netcfg")
 def run_netcfg():
-    """Full packed model under each NetCfg kernel-choice combo."""
+    """Full packed model under each NetCfg kernel-choice combo.
+    RETINEX_PERF_BATCH overrides the batch (default 2)."""
     from retinex_tpu.models.packed_inference import NetCfg, PackedRetinex
     from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
 
-    batch = 2
+    batch = int(os.environ.get("RETINEX_PERF_BATCH", "2"))
     dtype = jnp.bfloat16
     model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
@@ -1211,6 +1212,9 @@ def run_netcfg():
         measure(f"full {name}", f, inputs, batch=batch)
 
     run_with("default")                                 # famconv + folded tail
+    run_with("planar-sa-off", planar_sa=False)
+    run_with("ups-mode1", ups_mode=1)
+    run_with("ups-mode2", ups_mode=2)
     run_with("aspp-dots", aspp_dots=True)
     run_with("xla-tail", fam_tail_fold=False)           # famconv, XLA tail
     run_with("no-fused", fam_conv_fused=False, fam_tail_fold=False)
@@ -1653,13 +1657,17 @@ def run_bigbatch():
     """Packed-model batch scaling after the MXU-matmul fusion upsamples:
     does b16 fit now (round 2: 32-lane-minor interleaves padded 4-10x and
     OOM'd), and where does fps/chip saturate?"""
-    from retinex_tpu.models.packed_inference import PackedRetinex
+    from retinex_tpu.models.packed_inference import NetCfg, PackedRetinex
     from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
 
     dtype = jnp.bfloat16
     model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
-    pk = PackedRetinex(model, variables)
+    cfg = NetCfg(
+        planar_sa=not os.environ.get("RETINEX_PERF_NO_PLANAR_SA"),
+        ups_mode=int(os.environ.get("RETINEX_PERF_UPS_MODE", "0")),
+    )
+    pk = PackedRetinex(model, variables, cfg)
 
     @jax.jit
     def f(x):
@@ -1801,6 +1809,188 @@ def run_pallas_old():
 
     inputs = make_inputs()
     measure("pipeline_pallas_r1", clahe_lab_rgb_pallas, inputs)
+
+
+@exp("layout5")
+def run_layout5():
+    """6D cell-blocked vs 5D row-merged kernel layouts: the 6D blocks' minor
+    dims (ncx=16, hw=120) pad 2.13x under the u8 (32,128) tiling and every
+    in-kernel [hh,ncx,hw]->[rows,hw] merge is a padded-sublane relayout; the
+    5D blocks avoid both."""
+    import retinex_tpu.ops.clahe_gather as cg
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+    measure("u8 planar 6D (current)", jax.jit(cg.clahe_rgb_u8_planar_gather), xs)
+    measure("u8 planar 5D", jax.jit(cg.clahe_rgb_u8_planar_gather5), xs)
+
+    hh, hw = H // NCY, W // NCX
+    rows = hh * NCX
+
+    # stage-level: fwd alone, both layouts
+    @jax.jit
+    def fwd6(xp):
+        return cg._fwd_stage(xp.reshape(B, 3, NCY, hh, NCX, hw))
+
+    @jax.jit
+    def fwd5(xp):
+        return cg._fwd_stage5(xp.reshape(B, 3, NCY, rows, hw))
+
+    measure("fwd 6D only", fwd6, xs)
+    measure("fwd 5D only", fwd5, xs)
+
+    labs5 = [fwd5(x) for x in xs]
+    area = (2 * hh) * (2 * hw)
+
+    @jax.jit
+    def tables_only(lab5):
+        return cg._tables_stage(
+            lab5.reshape(3, B, NCY, hh, NCX, hw), 2.0, TILES, TILES, area
+        )
+
+    luts = [tables_only(l) for l in labs5]
+
+    @jax.jit
+    def apply5(args):
+        lab5, lane_luts = args
+        return cg._apply_stage5(lab5, lane_luts, NCX)
+
+    measure("apply 5D only", apply5, list(zip(labs5, luts)), batch=B)
+
+
+@exp("f32wrap")
+def run_f32wrap():
+    """f32 API wrapper cost: the sol run measured f32 io floor 0.72 ms but the
+    quantize+transpose glue around the u8 planar core adds ~0.9-1.0 ms. A/B
+    formulations of the in-glue (f32 NHWC -> u8 planar-6d) and out-glue
+    (u8 planar-6d -> f32 NHWC) to find which order XLA fuses into single
+    transpose+convert passes (u8 NHWC intermediates may carry padded tilings:
+    minor dim 3)."""
+    import retinex_tpu.ops.clahe_gather as cg
+
+    B = 8
+    xs = make_inputs(batch=B, n=6)
+    hh, hw = H // NCY, W // NCX
+
+    def core(xq6):
+        lab6 = cg._fwd_stage(xq6, False)
+        lab6 = jax.lax.optimization_barrier(lab6)
+        lane_luts = cg._tables_stage(lab6, 2.0, TILES, TILES, (2 * hh) * (2 * hw))
+        return cg._apply_stage(lab6, lane_luts, False)  # [b,3,ncy,hh,ncx,hw] u8
+
+    def in_v0(x):  # current: quantize NHWC u8 -> transpose -> reshape 6d
+        xq = jnp.clip(jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
+        return xq.transpose(0, 3, 1, 2).reshape(B, 3, NCY, hh, NCX, hw)
+
+    def in_v1(x):  # transpose f32 first, quantize planar (no u8 NHWC tensor)
+        xp = x.transpose(0, 3, 1, 2)
+        xq = jnp.clip(jnp.round(jnp.clip(xp, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
+        return xq.reshape(B, 3, NCY, hh, NCX, hw)
+
+    def in_v2(x):  # 6d-reshape f32 then one 6d transpose with convert after
+        x6 = x.reshape(B, NCY, hh, NCX, hw, 3).transpose(0, 5, 1, 2, 3, 4)
+        return jnp.clip(jnp.round(jnp.clip(x6, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
+
+    def out_w0(rgbp):  # current: u8 planar -> u8 NHWC -> f32
+        out = rgbp.reshape(B, 3, H, W).transpose(0, 2, 3, 1)
+        return out.astype(jnp.float32) / 255.0
+
+    def out_w1(rgbp):  # cast f32 fused into the transpose source
+        out = (rgbp.reshape(B, 3, H, W).astype(jnp.float32) / 255.0).transpose(0, 2, 3, 1)
+        return out
+
+    for iname, fin in (("in0", in_v0), ("in1", in_v1), ("in2", in_v2)):
+        for oname, fout in (("out0", out_w0), ("out1", out_w1)):
+            f = jax.jit(lambda x, fin=fin, fout=fout: fout(core(fin(x))))
+            measure(f"f32 {iname}+{oname}", f, xs)
+    # glue-only floors (no kernels): quantize+relayout in, cast+relayout out
+    for iname, fin in (("in0", in_v0), ("in1", in_v1), ("in2", in_v2)):
+        f = jax.jit(lambda x, fin=fin: fin(x))
+        measure(f"glue {iname} only", f, xs)
+    xq6s = [jax.jit(in_v1)(x) for x in xs]
+    for oname, fout in (("out0", out_w0), ("out1", out_w1)):
+        f = jax.jit(fout)
+        measure(f"glue {oname} only", f, xq6s)
+
+
+@exp("tables3")
+def run_tables3():
+    """In-graph decomposition of the tables stage by stubbing sub-parts in the
+    FULL u8 planar pipeline (axon-reliable: only full-graph deltas): hist
+    stubbed to a constant, LUT build stubbed to identity-cdf, selection
+    matmuls stubbed to broadcast."""
+    import retinex_tpu.ops.clahe_fast as cf
+    import retinex_tpu.ops.clahe_gather as cg
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+
+    full = jax.jit(
+        lambda xp: cg.clahe_rgb_u8_planar_gather(xp)
+    )
+    measure("full (baseline)", full, xs)
+
+    hh, hw = H // NCY, W // NCX
+    area = (2 * hh) * (2 * hw)
+
+    # variant A: hist replaced by a constant (removes one-hot compares + dot)
+    real_hist = cg._hist_planar
+
+    def const_hist(l_u8, ty, tx):
+        b = l_u8.shape[0]
+        base = (jnp.arange(HIST_SIZE, dtype=jnp.int32) % 7) * (area // 300)
+        return jnp.broadcast_to(base, (b, ty, tx, HIST_SIZE)) + l_u8[
+            :, :ty, :tx, None
+        ].astype(jnp.int32)
+
+    cg._hist_planar = const_hist
+    try:
+        f = jax.jit(lambda xp: cg.clahe_rgb_u8_planar_gather(xp))
+        measure("full - hist stubbed", f, xs)
+    finally:
+        cg._hist_planar = real_hist
+
+    # variant B: LUT build (clip/redistribute/cdf) replaced by identity LUT
+    real_luts = cf._luts_from_hist
+
+    def ident_luts(hist, clip_limit, tile_area):
+        bins = jnp.arange(HIST_SIZE, dtype=jnp.int32)
+        return jnp.broadcast_to(bins, hist.shape[:-1] + (HIST_SIZE,)) + (
+            hist[..., :1] // tile_area
+        )
+
+    cg._luts_from_hist = ident_luts
+    try:
+        f = jax.jit(lambda xp: cg.clahe_rgb_u8_planar_gather(xp))
+        measure("full - lutbuild stubbed", f, xs)
+    finally:
+        cg._luts_from_hist = real_luts
+
+    # variant C: neighbour-selection matmuls replaced by a same-LUT broadcast
+    def all_same(xp_u8):
+        b = xp_u8.shape[0]
+        rgb6 = xp_u8.reshape(B, 3, NCY, hh, NCX, hw)
+        lab6 = cg._fwd_stage(rgb6, False)
+        lab6 = jax.lax.optimization_barrier(lab6)
+        hist = cg._hist_planar(lab6[0].reshape(b, H, W), TILES, TILES)
+        luts = cf._luts_from_hist(hist, 2.0, area)
+        lf = luts.reshape(b, TILES * TILES, HIST_SIZE)[:, :1]  # one LUT
+        packed = lf | (lf << 8) | (lf << 16) | (lf << 24)
+        packed = jnp.broadcast_to(
+            packed.reshape(b, 1, 1, 2, 128), (b, NCY, NCX, 2, 128)
+        )
+        packed = jax.lax.optimization_barrier(packed)
+        return cg._apply_stage(lab6, packed, False)
+
+    measure("full - select stubbed", jax.jit(all_same), xs)
 
 
 def main():

@@ -66,6 +66,9 @@ def test_netcfg_variants_match(rng):
         NetCfg(packed_scale2=False),
         NetCfg(dec1_chain=True),
         NetCfg(aspp_dots=True),
+        NetCfg(planar_sa=False),
+        NetCfg(ups_mode=1, fam_conv_fused=False, fam_tail_fold=False),
+        NetCfg(ups_mode=2, fam_conv_fused=False, fam_tail_fold=False),
     ):
         got = np.asarray(PackedRetinex(model, variables, cfg)(x)[0])
         np.testing.assert_allclose(got, base, atol=2e-4, err_msg=str(cfg))
