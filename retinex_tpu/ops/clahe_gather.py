@@ -430,7 +430,7 @@ def clahe_rgb_u8_planar_gather(
     rgb6 = xp_u8.reshape(b, 3, ncy, hh, ncx, hw)
     lab6 = _fwd_stage(rgb6, interpret)
     lab6 = jax.lax.optimization_barrier(lab6)
-    lane_luts = _tables_stage(lab6, clip_limit, tiles_y, tiles_x, area)
+    lane_luts = _tables_stage(lab6[0], clip_limit, tiles_y, tiles_x, area)
     rgbp = _apply_stage(lab6, lane_luts, interpret)
     return rgbp.reshape(b, 3, h, w)
 
@@ -478,18 +478,22 @@ def _pick_bands(ncy: int) -> int:
 
 
 def _tables_stage(
-    lab6: jnp.ndarray, clip_limit: float, tiles_y: int, tiles_x: int, area: int
+    l_cells: jnp.ndarray, clip_limit: float, tiles_y: int, tiles_x: int, area: int
 ) -> jnp.ndarray:
     """Histograms + OpenCV LUT build + byte-packed neighbour lane tables.
+
+    l_cells: [b, ncy, hh, ncx, hw] uint8 — the L plane only (the 5D pipeline
+    must NOT reshape the full 150 MB Lab tensor into cell form just to feed
+    this stage: that copy measured ~1 ms/batch, perf_lab layout5 round 3).
 
     NOTE: callers put an optimization_barrier between the fwd kernel and this
     stage — it keeps XLA from interleaving the hist/table computation into
     the kernels' schedules (measured 5.03 -> 4.16 ms/batch, perf_lab decomp
     E vs E2): each stage compiles to its own clean program region.
     """
-    _, b, ncy, hh, ncx, hw = lab6.shape
+    b, ncy, hh, ncx, hw = l_cells.shape
     h, w = ncy * hh, ncx * hw
-    hist = _hist_planar(lab6[0].reshape(b, h, w), tiles_y, tiles_x)
+    hist = _hist_planar(l_cells.reshape(b, h, w), tiles_y, tiles_x)
     luts = _luts_from_hist(hist, clip_limit, area)  # [b, ty, tx, 256] int32
     luts_flat = luts.reshape(b, tiles_y * tiles_x, HIST_SIZE)
 
@@ -787,8 +791,10 @@ def clahe_rgb_u8_planar_gather5(
     rgb5 = xp_u8.reshape(b, 3, ncy, rows, hw)
     lab5 = _fwd_stage5(rgb5, interpret)
     lab5 = jax.lax.optimization_barrier(lab5)
-    lab6 = lab5.reshape(3, b, ncy, hh, ncx, hw)
-    lane_luts = _tables_stage(lab6, clip_limit, tiles_y, tiles_x, area)
+    # L plane only into cell form (reshaping the full Lab tensor to 6D for
+    # the tables stage measured ~1 ms/batch of pure relayout copy).
+    l_cells = lab5[0].reshape(b, ncy, hh, ncx, hw)
+    lane_luts = _tables_stage(l_cells, clip_limit, tiles_y, tiles_x, area)
     rgbp = _apply_stage5(lab5, lane_luts, ncx, interpret)
     return rgbp.reshape(b, 3, h, w)
 
@@ -803,10 +809,21 @@ def clahe_lab_rgb_gather(
     tiles_y: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Float wrapper over :func:`clahe_rgb_u8_gather` (drop-in for
-    ops/clahe.clahe_lab_rgb on supported shapes). x: float [0,1] NHWC/HWC."""
-    xq = jnp.clip(jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
-    out = clahe_rgb_u8_gather(
+    """Float wrapper over the planar u8 core (drop-in for
+    ops/clahe.clahe_lab_rgb on supported shapes). x: float [0,1] NHWC/HWC.
+
+    Glue order per the perf_lab f32wrap A/B (round 3): transpose the f32
+    NHWC FIRST and quantize into the planar u8 layout (no u8 NHWC
+    intermediate: 0.86 -> 0.35 ms of in-glue), and cast back to f32 BEFORE
+    the outbound transpose (XLA fuses the convert into the relayout;
+    4.93 -> 4.60 ms full-pipeline)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    xp = x.transpose(0, 3, 1, 2)
+    xq = jnp.clip(jnp.round(jnp.clip(xp, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
+    outp = clahe_rgb_u8_planar_gather(
         xq, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y, interpret=interpret
     )
-    return out.astype(jnp.float32) / 255.0
+    out = (outp.astype(jnp.float32) / 255.0).transpose(0, 2, 3, 1)
+    return out[0] if squeeze else out

@@ -619,7 +619,7 @@ def run_gdecomp():
 
     @jax.jit
     def tables_only(l6):
-        return cg._tables_stage(l6, 2.0, TILES, TILES, AREA)
+        return cg._tables_stage(l6[0], 2.0, TILES, TILES, AREA)
 
     luts = [tables_only(l) for l in labs]
 
@@ -824,7 +824,7 @@ def run_famparts():
     from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
     from retinex_tpu.ops.s2d import maxpool3x3_s1_s2d
 
-    B, Hp, Wp = 2, 544, 960
+    B, Hp, Wp = int(os.environ.get("RETINEX_PERF_BATCH", "2")), 544, 960
     dtype = jnp.bfloat16
     model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
@@ -1403,7 +1403,7 @@ def run_sol():
 
     @jax.jit
     def tables_only(lab6):
-        return cg._tables_stage(lab6, 2.0, TILES, TILES, area)
+        return cg._tables_stage(lab6[0], 2.0, TILES, TILES, area)
 
     luts = [tables_only(l) for l in labs]
 
@@ -1634,7 +1634,7 @@ def run_polyab():
 
     @jax.jit
     def tables_only(lab6):
-        return cg._tables_stage(lab6, 2.0, TILES, TILES, area)
+        return cg._tables_stage(lab6[0], 2.0, TILES, TILES, area)
 
     luts = [tables_only(l) for l in labs]
 
@@ -1766,7 +1766,7 @@ def run_gammaab():
 
     @jax.jit
     def tables_only(lab6):
-        return cg._tables_stage(lab6, 2.0, TILES, TILES, area)
+        return cg._tables_stage(lab6[0], 2.0, TILES, TILES, area)
 
     luts = [tables_only(l) for l in labs]
     pairs = list(zip(labs, luts))
@@ -1849,7 +1849,7 @@ def run_layout5():
     @jax.jit
     def tables_only(lab5):
         return cg._tables_stage(
-            lab5.reshape(3, B, NCY, hh, NCX, hw), 2.0, TILES, TILES, area
+            lab5[0].reshape(B, NCY, hh, NCX, hw), 2.0, TILES, TILES, area
         )
 
     luts = [tables_only(l) for l in labs5]
@@ -1860,6 +1860,52 @@ def run_layout5():
         return cg._apply_stage5(lab5, lane_luts, NCX)
 
     measure("apply 5D only", apply5, list(zip(labs5, luts)), batch=B)
+
+
+@exp("layout5b")
+def run_layout5b():
+    """Round-3 second pass: 5D core with the L-plane-only tables feed (the
+    first pass reshaped the full 150 MB Lab tensor to 6D: ~1 ms of copy),
+    vs the 6D core; plus the production f32 wrapper (in1+out1 glue) over
+    each core."""
+    import retinex_tpu.ops.clahe_gather as cg
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+    measure("u8 planar 6D", jax.jit(cg.clahe_rgb_u8_planar_gather), xs)
+    measure("u8 planar 5D (L-feed)", jax.jit(cg.clahe_rgb_u8_planar_gather5), xs)
+
+    xf = make_inputs(batch=B, n=6)
+    measure("f32 wrapper (6D core)", jax.jit(cg.clahe_lab_rgb_gather), xf)
+
+    hh, hw = H // NCY, W // NCX
+
+    @jax.jit
+    def f32_5d(x):
+        xp = x.transpose(0, 3, 1, 2)
+        xq = jnp.clip(jnp.round(jnp.clip(xp, 0.0, 1.0) * 255.0), 0, 255).astype(
+            jnp.uint8
+        )
+        outp = cg.clahe_rgb_u8_planar_gather5(xq)
+        return (outp.astype(jnp.float32) / 255.0).transpose(0, 2, 3, 1)
+
+    measure("f32 wrapper (5D core)", f32_5d, xf)
+
+    # u8 NHWC ingest (the batched-enhance non-planar path) over each core
+    xs_nhwc = [x.transpose(0, 2, 3, 1) for x in xs]
+    measure("u8 NHWC (6D core)", jax.jit(cg.clahe_rgb_u8_gather), xs_nhwc)
+
+    @jax.jit
+    def u8_nhwc_5d(x):
+        return cg.clahe_rgb_u8_planar_gather5(x.transpose(0, 3, 1, 2)).transpose(
+            0, 2, 3, 1
+        )
+
+    measure("u8 NHWC (5D core)", u8_nhwc_5d, xs_nhwc)
 
 
 @exp("f32wrap")
@@ -1879,7 +1925,7 @@ def run_f32wrap():
     def core(xq6):
         lab6 = cg._fwd_stage(xq6, False)
         lab6 = jax.lax.optimization_barrier(lab6)
-        lane_luts = cg._tables_stage(lab6, 2.0, TILES, TILES, (2 * hh) * (2 * hw))
+        lane_luts = cg._tables_stage(lab6[0], 2.0, TILES, TILES, (2 * hh) * (2 * hw))
         return cg._apply_stage(lab6, lane_luts, False)  # [b,3,ncy,hh,ncx,hw] u8
 
     def in_v0(x):  # current: quantize NHWC u8 -> transpose -> reshape 6d
