@@ -86,6 +86,13 @@ class NetCfg:
     ups_mode: int = 0             # s2d_upsample_mxu einsum formulation
     # (0 transpose-form, 1/2 free-reshape output orders — see ops/s2d.py);
     # pending full-graph A/B at b8/b16 where the 2-3 GB relayout copies bite
+    fam_fused_max_batch: int = 2  # batch bound for the fused FAM/tail custom
+    # calls (win at b<=2, lose 17-51 ms at b8 — netcfg/netstages round 3);
+    # perf_lab raises it to re-sweep
+    fam_xla_folded: bool = False  # XLA FAM chain with the fused kernel's
+    # weight algebra (merged dual first conv, fusion 1x1 folded into branch
+    # tails); applies when the fused custom call is gated off (b > 2);
+    # pending full-graph A/B
 
     def resolve(self) -> "NetCfg":
         if os.environ.get("RETINEX_NO_FUSED"):
@@ -498,7 +505,7 @@ class PackedRetinex:
         # serializes it. Same pattern as the tail kernels below.
         if (
             self.cfg.fam_conv_fused
-            and xp.shape[0] <= 2
+            and xp.shape[0] <= self.cfg.fam_fused_max_batch
             and jax.devices()[0].platform != "cpu"
             and fam_conv_supported(xp.shape)
         ):
@@ -508,6 +515,24 @@ class PackedRetinex:
             out = fam_conv_fused(
                 xp, fw["ka"], fw["kb"], fw["dual_k1"], fw["dual_b1"],
                 fw["k32f"], fw["k42f"], fw["bias_total"],
+            )
+        elif self.cfg.fam_xla_folded:
+            # Folded XLA chain (same weight algebra as the fused kernel, run
+            # through XLA's conv emitter): branch3/4 first convs merged into
+            # ONE 128->256 conv (shared input, wider N tiles better), the
+            # fusion 1x1's four row blocks folded into each branch's last
+            # conv (ka/kb/k32f/k42f), all constants in bias_total — four
+            # 1x1 fusion convs and two narrow convs disappear (~7% FLOPs).
+            mid = _conv_auto(
+                xp, fw["dual_k1"], bias=fw["dual_b1"], relu=True
+            )  # [*, 256] = (branch3_mid | branch4_mid)
+            b2 = maxpool3x3_s1_s2d(xp)
+            out = jax.nn.relu(
+                _conv(xp, jnp.asarray(fw["ka"])[None, None])
+                + _conv(b2, jnp.asarray(fw["kb"])[None, None])
+                + _conv(mid[..., :128], fw["k32f"])
+                + _conv(mid[..., 128:], fw["k42f"])
+                + fw["bias_total"].astype(xp.dtype)
             )
         else:
             b1 = _conv_auto(xp, k["branch1"], bias=bset["branch1"])
@@ -541,7 +566,7 @@ class PackedRetinex:
         # fold only at batch <= 2.
         use_tail_kernels = (
             self.cfg.fam_tail_fold
-            and out.shape[0] <= 2
+            and out.shape[0] <= self.cfg.fam_fused_max_batch
             and fold_kernel is not None
             and jax.devices()[0].platform != "cpu"
             and fam_tail_supported(out.shape)

@@ -892,6 +892,28 @@ def run_famparts():
         return pk_xla._fam_packed(v, pk_xla.fam1)
 
     measure("fam full (xla chains)", fam_full_xla, xps, batch=B)
+
+    pk_fused = PackedRetinex(
+        model, variables, NetCfg(fam_fused_max_batch=99, fam_tail_fold=False)
+    )
+
+    @jax.jit
+    def fam_full_fused(v):
+        return pk_fused._fam_packed(v, pk_fused.fam1)
+
+    measure("fam full (fused kernel)", fam_full_fused, xps, batch=B)
+
+    from retinex_tpu.ops.fused_blocks import fam_conv_fused as _fcf
+
+    @jax.jit
+    def famconv_kernel_only(v):
+        fw = pk.fam1
+        return _fcf(
+            v, fw["ka"], fw["kb"], fw["dual_k1"], fw["dual_b1"],
+            fw["k32f"], fw["k42f"], fw["bias_total"],
+        )
+
+    measure("famconv kernel only", famconv_kernel_only, xps, batch=B)
     measure("fam maxpool only", maxpool_only, xps, batch=B)
     measure("fam b1+b2", b1b2_only, xps, batch=B)
     measure("fam tail (fusion+CA+SA)", tail_only, fours, batch=B)
@@ -1215,6 +1237,8 @@ def run_netcfg():
     run_with("planar-sa-off", planar_sa=False)
     run_with("ups-mode1", ups_mode=1)
     run_with("ups-mode2", ups_mode=2)
+    run_with("fam-xla-folded", fam_xla_folded=True, fam_conv_fused=False,
+             fam_tail_fold=False)
     run_with("aspp-dots", aspp_dots=True)
     run_with("xla-tail", fam_tail_fold=False)           # famconv, XLA tail
     run_with("no-fused", fam_conv_fused=False, fam_tail_fold=False)

@@ -69,6 +69,7 @@ def test_netcfg_variants_match(rng):
         NetCfg(planar_sa=False),
         NetCfg(ups_mode=1, fam_conv_fused=False, fam_tail_fold=False),
         NetCfg(ups_mode=2, fam_conv_fused=False, fam_tail_fold=False),
+        NetCfg(fam_xla_folded=True),
     ):
         got = np.asarray(PackedRetinex(model, variables, cfg)(x)[0])
         np.testing.assert_allclose(got, base, atol=2e-4, err_msg=str(cfg))
