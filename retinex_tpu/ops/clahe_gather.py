@@ -397,7 +397,11 @@ def clahe_rgb_u8_gather(
     if squeeze:
         x_u8 = x_u8[None]
     xp = x_u8.transpose(0, 3, 1, 2)
-    outp = clahe_rgb_u8_planar_gather(
+    # NHWC ingest keeps the 6D core: interleaved A/B (perf_lab layout5b,
+    # round 3) measured 4.05 ms/batch through the 6D core vs 4.34 through
+    # the 5D one — the transpose+row-merge reshape in front of the 5D core
+    # lays out worse than the transpose+cell reshape in front of the 6D one.
+    outp = clahe_rgb_u8_planar_gather6(
         xp, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y, interpret=interpret
     )
     out = outp.transpose(0, 2, 3, 1)
@@ -407,18 +411,20 @@ def clahe_rgb_u8_gather(
 @functools.partial(
     jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
 )
-def clahe_rgb_u8_planar_gather(
+def clahe_rgb_u8_planar_gather6(
     xp_u8: jnp.ndarray,
     clip_limit: float = 2.0,
     tiles_x: int = 8,
     tiles_y: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Planar uint8 pipeline: [B, 3, H, W] -> [B, 3, H, W].
+    """Planar uint8 pipeline, 6D cell-blocked core: [B, 3, H, W] -> same.
 
-    The fastest entry: a planar producer (e.g. the native decoder's planar
-    mode) skips both NHWC<->planar relayouts — the H/W splits into
-    (ncy, hh, ncx, hw) blocks below are free row-major reshapes.
+    Retained for A/B (perf_lab layout5/layout5b): the 5D row-merged core
+    (:func:`clahe_rgb_u8_planar_gather5`) replaced it as the production
+    planar entry in round 3 (3.86 vs 4.82 ms/batch-8 interleaved) — the 6D
+    blocks' (ncx=16, hw=120) minor dims tile (32, 128) in u8 and every
+    in-kernel [hh, ncx, hw] -> [rows, hw] merge is a padded-sublane relayout.
     """
     b, _, h, w = xp_u8.shape
     if not gather_supported(h, w, tiles_y, tiles_x):
@@ -778,8 +784,10 @@ def clahe_rgb_u8_planar_gather5(
 ) -> jnp.ndarray:
     """5D-layout planar uint8 pipeline: [B, 3, H, W] -> [B, 3, H, W].
 
-    Same math as :func:`clahe_rgb_u8_planar_gather`; kernels stream
-    [*, rows, hw] blocks (see `_fwd_kernel5` for why)."""
+    The production planar entry (fastest path, round 3): same math as the
+    6D core :func:`clahe_rgb_u8_planar_gather6`, but kernels stream
+    [*, rows, hw] blocks (see `_fwd_kernel5` for why) — 3.86 vs 4.82
+    ms/batch-8 interleaved on v5e (perf_lab layout5b)."""
     b, _, h, w = xp_u8.shape
     if not gather_supported(h, w, tiles_y, tiles_x):
         raise ValueError(f"shape {(h, w)} unsupported by the gather kernel")
@@ -799,6 +807,11 @@ def clahe_rgb_u8_planar_gather5(
     return rgbp.reshape(b, 3, h, w)
 
 
+# Public planar entry = the 5D core (bit-identical to the 6D core; see
+# tests/test_clahe_gather.py::test_planar5_matches_planar6).
+clahe_rgb_u8_planar_gather = clahe_rgb_u8_planar_gather5
+
+
 @functools.partial(
     jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
 )
@@ -816,13 +829,14 @@ def clahe_lab_rgb_gather(
     NHWC FIRST and quantize into the planar u8 layout (no u8 NHWC
     intermediate: 0.86 -> 0.35 ms of in-glue), and cast back to f32 BEFORE
     the outbound transpose (XLA fuses the convert into the relayout;
-    4.93 -> 4.60 ms full-pipeline)."""
+    4.93 -> 4.60 ms full-pipeline). Core is the 5D planar pipeline
+    (4.96 vs 5.04 ms/batch-8 vs the 6D core, layout5b)."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
     xp = x.transpose(0, 3, 1, 2)
     xq = jnp.clip(jnp.round(jnp.clip(xp, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
-    outp = clahe_rgb_u8_planar_gather(
+    outp = clahe_rgb_u8_planar_gather5(
         xq, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y, interpret=interpret
     )
     out = (outp.astype(jnp.float32) / 255.0).transpose(0, 2, 3, 1)

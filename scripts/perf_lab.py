@@ -1849,7 +1849,7 @@ def run_layout5():
         jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
         for _ in range(6)
     ]
-    measure("u8 planar 6D (current)", jax.jit(cg.clahe_rgb_u8_planar_gather), xs)
+    measure("u8 planar 6D (current)", jax.jit(cg.clahe_rgb_u8_planar_gather6), xs)
     measure("u8 planar 5D", jax.jit(cg.clahe_rgb_u8_planar_gather5), xs)
 
     hh, hw = H // NCY, W // NCX
@@ -1900,7 +1900,7 @@ def run_layout5b():
         jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
         for _ in range(6)
     ]
-    measure("u8 planar 6D", jax.jit(cg.clahe_rgb_u8_planar_gather), xs)
+    measure("u8 planar 6D", jax.jit(cg.clahe_rgb_u8_planar_gather6), xs)
     measure("u8 planar 5D (L-feed)", jax.jit(cg.clahe_rgb_u8_planar_gather5), xs)
 
     xf = make_inputs(batch=B, n=6)

@@ -51,6 +51,24 @@ def test_u8_and_f32_entry_points_agree(img):
     assert out_u8.shape == SHAPE
 
 
+def test_planar5_matches_planar6(img):
+    # The 5D row-merged core is the production planar entry (round 3); it
+    # must be bit-identical to the 6D cell-blocked core it replaced.
+    from retinex_tpu.ops.clahe_gather import (
+        clahe_rgb_u8_planar_gather,
+        clahe_rgb_u8_planar_gather5,
+        clahe_rgb_u8_planar_gather6,
+    )
+
+    u8p = (
+        jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8).transpose(0, 3, 1, 2)
+    )
+    out5 = np.asarray(clahe_rgb_u8_planar_gather5(u8p, interpret=True))
+    out6 = np.asarray(clahe_rgb_u8_planar_gather6(u8p, interpret=True))
+    np.testing.assert_array_equal(out5, out6)
+    assert clahe_rgb_u8_planar_gather is clahe_rgb_u8_planar_gather5
+
+
 def test_unsupported_shape_raises(img):
     with pytest.raises(ValueError):
         clahe_lab_rgb_gather(img[:, :100], interpret=True)
