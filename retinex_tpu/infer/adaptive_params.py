@@ -86,7 +86,12 @@ class AdaptiveParameterAdjuster:
         squeeze = x.ndim == 3
         if squeeze:
             x = x[None]
-        self.adjust_parameters(x)  # computed for API parity; unused (quirk kept)
+        # Computed for API parity; unused (reference quirk, :185). The rule
+        # table branches on host floats, so it cannot run under a jit trace
+        # (the batched enhance pipeline jits this whole function) — and the
+        # discarded result makes skipping it there behavior-identical.
+        if not isinstance(x, jax.core.Tracer):
+            self.adjust_parameters(x)
         enhanced, _refl, illu = apply_fn(x)
         enhanced = clahe_lab_rgb(jnp.clip(enhanced, 0.0, 1.0), use_pallas=use_pallas)
         if squeeze:

@@ -76,23 +76,29 @@ class NetCfg:
     packed_scale2: bool = True    # scale-2 tower evaluated in packed space
     dec1_chain: bool = False      # fused dec1 UpBlock chain (loses in-graph)
     aspp_dots: bool = False       # ASPP dilated convs as shifted MXU dots
-    # (fusion 1x1 distributed over branches — no 1280-ch concat); default
-    # pending full-graph A/B (perf_lab netcfg, round 3)
+    # (fusion 1x1 distributed over branches — no 1280-ch concat). Wins
+    # standalone (2.66 vs 3.18 ms) but LOSES full-graph (netcfg b2: 111.3
+    # vs 104.1 ms — the 9-dot formulation breaks XLA's conv pipelining in
+    # the inner stage). Default off.
     planar_sa: bool = True        # FAM spatial-attention conv in planar
     # [b,c,h,w] layout (channel-minor [*,8]/[*,4] tensors tile T(8,128) and
     # pad 16-32x in HBM — a 95 MB sa map allocates 3 GB at b24). Full-graph
     # A/B (netcfg/bigbatch, round 3): b2 104.2 vs 103.9 ms (noise), b4 179.4
     # vs 181.3, b8 240 vs 255, b16 470 vs ~490 — default ON.
-    ups_mode: int = 0             # s2d_upsample_mxu einsum formulation
-    # (0 transpose-form, 1/2 free-reshape output orders — see ops/s2d.py);
-    # pending full-graph A/B at b8/b16 where the 2-3 GB relayout copies bite
+    ups_mode: int = 1             # s2d_upsample_mxu einsum formulation
+    # (0 transpose-form, 1/2 free-reshape output orders — see ops/s2d.py).
+    # Full-graph A/B (netcfg, round 3): mode 1 wins at every batch —
+    # b2 102.4 vs 104.1 ms, b8 233.4 vs 241.0, b16 456.4 vs 470.8; mode 2
+    # neutral. Default 1.
     fam_fused_max_batch: int = 2  # batch bound for the fused FAM/tail custom
     # calls (win at b<=2, lose 17-51 ms at b8 — netcfg/netstages round 3);
     # perf_lab raises it to re-sweep
-    fam_xla_folded: bool = False  # XLA FAM chain with the fused kernel's
+    fam_xla_folded: bool = True   # XLA FAM chain with the fused kernel's
     # weight algebra (merged dual first conv, fusion 1x1 folded into branch
-    # tails); applies when the fused custom call is gated off (b > 2);
-    # pending full-graph A/B
+    # tails, ~7% fewer FLOPs); applies when the fused custom call is gated
+    # off (b > fam_fused_max_batch). Full-graph A/B (netcfg, round 3):
+    # b8 226.4 vs 233.6 ms (35.3 vs 34.2 fps), b2 neutral (fused kernel
+    # path takes precedence there anyway). Default ON.
 
     def resolve(self) -> "NetCfg":
         if os.environ.get("RETINEX_NO_FUSED"):

@@ -1687,10 +1687,12 @@ def run_bigbatch():
     dtype = jnp.bfloat16
     model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
-    cfg = NetCfg(
-        planar_sa=not os.environ.get("RETINEX_PERF_NO_PLANAR_SA"),
-        ups_mode=int(os.environ.get("RETINEX_PERF_UPS_MODE", "0")),
-    )
+    kw = {}
+    if os.environ.get("RETINEX_PERF_NO_PLANAR_SA"):
+        kw["planar_sa"] = False
+    if "RETINEX_PERF_UPS_MODE" in os.environ:
+        kw["ups_mode"] = int(os.environ["RETINEX_PERF_UPS_MODE"])
+    cfg = NetCfg(**kw)
     pk = PackedRetinex(model, variables, cfg)
 
     @jax.jit

@@ -48,6 +48,38 @@ def test_batched_clahe_matches_single(image_dir, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_batched_net_mode_matches_single(image_dir, tmp_path):
+    # Net mode (classical_mode=None — the CLI's default adaptive+CLAHE path)
+    # jits the whole per-bucket pipeline including the net forward; it was
+    # untested batched and regressed with a ConcretizationTypeError inside
+    # apply_adaptive_enhancement (round 3).
+    import jax
+    import jax.numpy as jnp
+
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+
+    model = MultiScaleUPRetinex(use_preact=False, use_aspp=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def apply_fn(batch):
+        return model.apply(variables, batch, train=False)
+
+    out_b = tmp_path / "batched"
+    out_s = tmp_path / "single"
+    timings = enhance_batch_images(
+        apply_fn, str(image_dir), str(out_b), batch_size=4
+    )
+    assert len(timings) == 5
+    for suffix in ("enhanced", "illumination", "comparison"):
+        assert (out_b / f"tall_0_{suffix}.png").exists()
+
+    enhance_single_image(apply_fn, str(image_dir / "tall_0.png"), str(out_s))
+    a = np.asarray(Image.open(out_b / "tall_0_enhanced.png"))
+    b = np.asarray(Image.open(out_s / "tall_0_enhanced.png"))
+    # Same graph modulo jit boundaries; allow 1-level rounding skew.
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
 def test_batched_msr_runs(image_dir, tmp_path):
     timings = enhance_batch_images(
         None, str(image_dir), str(tmp_path / "msr"), classical_mode="msr", batch_size=8

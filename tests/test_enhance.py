@@ -99,6 +99,30 @@ def test_adaptive_clahe_pipeline(tiny_apply_fn, rng):
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
+def test_adaptive_clahe_pipeline_under_jit(tiny_apply_fn, rng):
+    # The batched enhance driver jits the whole net-mode pipeline
+    # (infer/enhance.py quantized_pipeline); apply_adaptive_enhancement must
+    # be traceable (its discarded adjust_parameters parity call branches on
+    # host floats and is skipped under a trace — regression: it used to
+    # raise ConcretizationTypeError on the first batched net-mode dispatch).
+    import jax
+
+    from retinex_tpu.infer.adaptive_params import AdaptiveParameterAdjuster
+
+    adj = AdaptiveParameterAdjuster()
+    x = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    eager_out, eager_illu = adj.apply_adaptive_enhancement(tiny_apply_fn, x)
+    jit_out, jit_illu = jax.jit(
+        lambda v: adj.apply_adaptive_enhancement(tiny_apply_fn, v)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(jit_out), np.asarray(eager_out), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jit_illu), np.asarray(eager_illu), atol=1e-5
+    )
+
+
 def test_adaptive_params_rule_table(rng):
     from retinex_tpu.infer.adaptive_params import AdaptiveParameterAdjuster
 
