@@ -523,19 +523,25 @@ def _tables_stage(
 
     lf = luts_flat.astype(jnp.float32)
 
-    def select(s):
-        out = jnp.einsum("bte,tc->bce", lf, s, preferred_element_type=jnp.float32)
-        return out.astype(jnp.int32)
-
-    l00 = select(sel_matrix(t0y, t0x))
-    l01 = select(sel_matrix(t0y, t1x))
-    l10 = select(sel_matrix(t1y, t0x))
-    l11 = select(sel_matrix(t1y, t1x))
     # Byte-pack the 4 neighbour LUTs into one int32 word per entry (they are
     # always looked up at the SAME pixel value), then split into two 128-entry
     # halves: entry k*128+e of x-cell c at [.., c, k, e]. One packed gather
     # replaces four u8 gathers; same HBM bytes as four u8 tables.
-    packed = l00 | (l01 << 8) | (l10 << 16) | (l11 << 24)
+    # The byte-pairing happens INSIDE the selection matmul: weights 1/256 in
+    # the 0/1 matrix compute l00 + (l01<<8) exactly in f32 (<= 65535 < 2^24),
+    # and one [64, 2*n_cells] matrix evaluates both pairs — one MXU dispatch
+    # instead of four (the four tiny einsums cost ~0.6 ms of in-graph
+    # layout/dispatch overhead, perf_lab tables3 select-stub, round 3).
+    s_lo = sel_matrix(t0y, t0x) + 256.0 * sel_matrix(t0y, t1x)
+    s_hi = sel_matrix(t1y, t0x) + 256.0 * sel_matrix(t1y, t1x)
+    both = jnp.einsum(
+        "bte,tc->bce",
+        lf,
+        jnp.concatenate([s_lo, s_hi], axis=1),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    lo, hi = both[:, :n_cells], both[:, n_cells:]
+    packed = lo | (hi << 16)
     return jax.lax.optimization_barrier(packed.reshape(b, ncy, ncx, 2, 128))
 
 

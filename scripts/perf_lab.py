@@ -1989,6 +1989,137 @@ def run_f32wrap():
         measure(f"glue {oname} only", f, xq6s)
 
 
+@exp("stages5")
+def run_stages5():
+    """In-graph stage attribution for the production 5D planar pipeline via
+    cumulative prefixes (one process, interleaved — the only trustworthy
+    axon method): glue floor -> +fwd -> +tables -> full, plus a no-barrier
+    variant (is the fwd->tables optimization_barrier still needed/harmful
+    now that every stage is its own pallas_call?)."""
+    import retinex_tpu.ops.clahe_gather as cg
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+    hh, hw = H // NCY, W // NCX
+    rows = hh * NCX
+    area = (2 * hh) * (2 * hw)
+
+    measure("full (baseline)", jax.jit(cg.clahe_rgb_u8_planar_gather5), xs)
+
+    @jax.jit
+    def fwd_only(xp):
+        rgb5 = xp.reshape(B, 3, NCY, rows, hw)
+        lab5 = cg._fwd_stage5(rgb5, False)
+        return lab5.reshape(3, B, H, W)
+
+    measure("prefix: fwd only", fwd_only, xs)
+
+    @jax.jit
+    def fwd_tables(xp):
+        rgb5 = xp.reshape(B, 3, NCY, rows, hw)
+        lab5 = cg._fwd_stage5(rgb5, False)
+        lab5 = jax.lax.optimization_barrier(lab5)
+        l_cells = lab5[0].reshape(B, NCY, hh, NCX, hw)
+        lane_luts = cg._tables_stage(l_cells, 2.0, TILES, TILES, area)
+        return lab5.reshape(3, B, H, W), lane_luts
+
+    measure("prefix: fwd+tables", fwd_tables, xs)
+
+    @jax.jit
+    def full_nobarrier(xp):
+        rgb5 = xp.reshape(B, 3, NCY, rows, hw)
+        lab5 = cg._fwd_stage5(rgb5, False)
+        l_cells = lab5[0].reshape(B, NCY, hh, NCX, hw)
+        lane_luts = cg._tables_stage(l_cells, 2.0, TILES, TILES, area)
+        rgbp = cg._apply_stage5(lab5, lane_luts, NCX, False)
+        return rgbp.reshape(B, 3, H, W)
+
+    measure("full, no barrier", full_nobarrier, xs)
+
+    # u8 output copy floor: ingest + one cheap elementwise pass + output
+    @jax.jit
+    def copy_floor(xp):
+        return xp + jnp.uint8(1)
+
+    measure("glue floor (copy)", copy_floor, xs)
+
+
+@exp("barriers5")
+def run_barriers5():
+    """optimization_barrier placement in the 5D pipeline: the fwd->tables
+    barrier (stages5: costs ~0.4 ms now that every stage is a pallas_call)
+    and the tables-end barrier, all four combinations."""
+    import retinex_tpu.ops.clahe_gather as cg
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+    hh, hw = H // NCY, W // NCX
+    rows = hh * NCX
+    area = (2 * hh) * (2 * hw)
+
+    def make(fwd_barrier, tables_barrier):
+        def tables_nb(l_cells, clip, ty, tx, ar):
+            b = l_cells.shape[0]
+            h, w = NCY * hh, NCX * hw
+            hist = cg._hist_planar(l_cells.reshape(b, h, w), ty, tx)
+            import retinex_tpu.ops.clahe_fast as cf
+
+            luts = cf._luts_from_hist(hist, clip, ar)
+            luts_flat = luts.reshape(b, ty * tx, HIST_SIZE)
+            t0y, t1y = cg._neighbor_index_tables(ty)
+            t0x, t1x = cg._neighbor_index_tables(tx)
+            n_cells, n_tiles = 4 * ty * tx, ty * tx
+
+            def sel_matrix(tyv, txv):
+                flat = (
+                    np.asarray(tyv)[:, None] * tx + np.asarray(txv)[None, :]
+                ).reshape(-1)
+                s = np.zeros((n_tiles, n_cells), np.float32)
+                s[flat, np.arange(n_cells)] = 1.0
+                return jnp.asarray(s)
+
+            lf = luts_flat.astype(jnp.float32)
+
+            def select(s):
+                return jnp.einsum(
+                    "bte,tc->bce", lf, s, preferred_element_type=jnp.float32
+                ).astype(jnp.int32)
+
+            l00 = select(sel_matrix(t0y, t0x))
+            l01 = select(sel_matrix(t0y, t1x))
+            l10 = select(sel_matrix(t1y, t0x))
+            l11 = select(sel_matrix(t1y, t1x))
+            packed = l00 | (l01 << 8) | (l10 << 16) | (l11 << 24)
+            out = packed.reshape(b, NCY, NCX, 2, 128)
+            return jax.lax.optimization_barrier(out) if tables_barrier else out
+
+        @jax.jit
+        def f(xp):
+            rgb5 = xp.reshape(B, 3, NCY, rows, hw)
+            lab5 = cg._fwd_stage5(rgb5, False)
+            if fwd_barrier:
+                lab5 = jax.lax.optimization_barrier(lab5)
+            l_cells = lab5[0].reshape(B, NCY, hh, NCX, hw)
+            lane_luts = tables_nb(l_cells, 2.0, TILES, TILES, area)
+            rgbp = cg._apply_stage5(lab5, lane_luts, NCX, False)
+            return rgbp.reshape(B, 3, H, W)
+
+        return f
+
+    measure("fwd-bar + tab-bar (current)", make(True, True), xs)
+    measure("no fwd-bar, tab-bar", make(False, True), xs)
+    measure("fwd-bar, no tab-bar", make(True, False), xs)
+    measure("no barriers", make(False, False), xs)
+
+
 @exp("tables3")
 def run_tables3():
     """In-graph decomposition of the tables stage by stubbing sub-parts in the
