@@ -179,6 +179,21 @@ def bench_classical(on_tpu: bool):
             (batch / dt_pl) / BASELINE_FPS,
         )
 
+        # Fast luma-gain mode (ops/clahe_luma.py): the documented
+        # reduced-parity alternative past the Lab pipeline's speed-of-light
+        # (BENCH_NOTES.md round-3 SOL analysis).
+        from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8_planar
+
+        dt_lu = measure_batch_seconds(
+            clahe_luma_rgb_u8_planar, inputs_planar, k_big=k_big
+        )
+        emit(
+            "classical_enhance_1080p_u8_luma_fast_fps_per_chip",
+            batch / dt_lu,
+            "frames/sec",
+            (batch / dt_lu) / BASELINE_FPS,
+        )
+
     fn = jax.jit(clahe_lab_rgb)  # auto-routes: gather kernel on TPU, XLA on CPU
     dt = measure_batch_seconds(fn, inputs_f32, k_big=k_big)
     emit(

@@ -12,7 +12,7 @@ import argparse
 import os
 from pathlib import Path
 
-from retinex_tpu.config import Config, add_config_args, config_from_args
+from retinex_tpu.config import CLASSICAL_MODES, Config, add_config_args, config_from_args
 
 
 def _build_apply_fn(config: Config, require_checkpoint: bool):
@@ -122,7 +122,7 @@ def run(config: Config):
     if config.mode == "enhance":
         from retinex_tpu.infer.enhance import enhance_batch_images, enhance_single_image
 
-        needs_net = config.classical_mode not in ("ssr", "msr", "msrcr")
+        needs_net = config.classical_mode not in CLASSICAL_MODES
         apply_fn = _build_apply_fn(config, require_checkpoint=False) if needs_net else None
         os.makedirs(config.output_dir, exist_ok=True)
         input_path = Path(config.input_path)
@@ -189,7 +189,11 @@ def simple_enhance_main(argv=None):
     parser.add_argument("--device", type=str, default=None, help=argparse.SUPPRESS)
     parser.add_argument("--multi_scale", action="store_true")
     parser.add_argument("--content_aware", action="store_true")
-    parser.add_argument("--classical", type=str, default=None, choices=["ssr", "msr", "msrcr"])
+    # The reference accepts ssr/msr/msrcr; clahe/clahe_luma are additions
+    # (the reference's CLAHE only runs inside adaptive post-processing).
+    parser.add_argument(
+        "--classical", type=str, default=None, choices=list(CLASSICAL_MODES)
+    )
     args = parser.parse_args(argv)
     config = Config(
         mode="enhance",

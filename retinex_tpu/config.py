@@ -11,6 +11,10 @@ from __future__ import annotations
 
 import dataclasses
 
+# Net-free enhance pipelines accepted by `Config.classical_mode` (routed in
+# infer/enhance._classical_enhance).
+CLASSICAL_MODES = ("ssr", "msr", "msrcr", "clahe", "clahe_luma")
+
 
 @dataclasses.dataclass
 class Config:
@@ -76,7 +80,10 @@ class Config:
     num_processes: int | None = None
     process_id: int | None = None
     profile_dir: str | None = None  # jax.profiler trace output
-    classical_mode: str | None = None  # ssr | msr | msrcr classical enhance
+    # ssr | msr | msrcr | clahe (exact cv2-parity Lab CLAHE) | clahe_luma
+    # (fast luma-gain CLAHE, ops/clahe_luma.py — ~2.4x clahe's throughput,
+    # documented reduced parity). None = the trained net.
+    classical_mode: str | None = None
     # Pallas gather-based CLAHE pipeline (ops/clahe_gather.py) — the fastest
     # path on TPU (~1.9x the XLA nibble-MXU path, BENCH_NOTES.md). On by
     # default; automatically falls back to the XLA path on CPU or on shapes

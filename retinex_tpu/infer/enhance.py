@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from retinex_tpu.config import CLASSICAL_MODES
 from retinex_tpu.infer.adaptive_params import AdaptiveParameterAdjuster
 from retinex_tpu.ops.colorspace import rgb_to_luma
 from retinex_tpu.ops.filters import central_gradient, gaussian_blur, laplacian
@@ -147,7 +148,7 @@ def enhance_single_image(
     x = jnp.asarray(img)
 
     start = time.time()
-    if classical_mode in ("ssr", "msr", "msrcr", "clahe"):
+    if classical_mode in CLASSICAL_MODES:
         enhanced = _classical_enhance(x, classical_mode, use_pallas)
         illu = rgb_to_luma(jnp.asarray(img))  # luminance stands in for the net's illu map
     elif enable_content_aware:
@@ -179,6 +180,12 @@ def _classical_enhance(x: jnp.ndarray, classical_mode: str, use_pallas):
         from retinex_tpu.ops.clahe import clahe_lab_rgb
 
         return clahe_lab_rgb(x, use_pallas=use_pallas)
+    if classical_mode == "clahe_luma":
+        # Fast luma-gain CLAHE (ops/clahe_luma.py): reduced-parity mode past
+        # the Lab pipeline's speed-of-light (BENCH_NOTES.md round-3 SOL).
+        from retinex_tpu.ops.clahe_luma import clahe_luma_rgb
+
+        return clahe_luma_rgb(x, use_pallas=use_pallas)
     return msr_enhance(x, mode=classical_mode)
 
 
@@ -231,7 +238,7 @@ def enhance_batch_images(
         )
 
     on_accel = jax.devices()[0].platform != "cpu"
-    mode_key = classical_mode if classical_mode in ("ssr", "msr", "msrcr", "clahe") else "net"
+    mode_key = classical_mode if classical_mode in CLASSICAL_MODES else "net"
 
     @functools.lru_cache(maxsize=8)
     def quantized_pipeline(shape):
@@ -251,13 +258,17 @@ def enhance_batch_images(
             from retinex_tpu.ops.clahe_gather import clahe_rgb_u8_gather, gather_supported
 
             if (
-                mode_key == "clahe"
+                mode_key in ("clahe", "clahe_luma")
                 and on_accel
                 and gather_supported(batch_u8.shape[1], batch_u8.shape[2], 8, 8)
             ):
+                if mode_key == "clahe_luma":
+                    from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8
+
+                    return clahe_luma_rgb_u8(batch_u8), None
                 return clahe_rgb_u8_gather(batch_u8), None
             x = batch_u8.astype(jnp.float32) / 255.0
-            if mode_key in ("ssr", "msr", "msrcr", "clahe"):
+            if mode_key in CLASSICAL_MODES:
                 return quant(_classical_enhance(x, mode_key, use_pallas)), None
             out, illu = adjuster.apply_adaptive_enhancement(apply_fn, x, use_pallas=use_pallas)
             return quant(out), quant(illu)

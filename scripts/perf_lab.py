@@ -2048,6 +2048,98 @@ def run_stages5():
     measure("glue floor (copy)", copy_floor, xs)
 
 
+@exp("lumafast")
+def run_lumafast():
+    """Fast luma-gain CLAHE (ops/clahe_luma.py) vs the exact Lab pipeline,
+    interleaved (same process, same inputs): planar u8, NHWC u8, f32 wrapper.
+    The SOL analysis predicts ~45 op-slots/px for luma-gain vs ~230 for Lab."""
+    import retinex_tpu.ops.clahe_gather as cg
+    import retinex_tpu.ops.clahe_luma as cl
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+    for rep in range(3):
+        measure(f"[{rep}] lab  planar 5D", jax.jit(cg.clahe_rgb_u8_planar_gather5), xs)
+        measure(f"[{rep}] luma planar 5D", jax.jit(cl.clahe_luma_rgb_u8_planar), xs)
+
+    xs_nhwc = [x.transpose(0, 2, 3, 1) for x in xs]
+    measure("lab  NHWC", jax.jit(cg.clahe_rgb_u8_gather), xs_nhwc)
+    measure("luma NHWC", jax.jit(cl.clahe_luma_rgb_u8), xs_nhwc)
+
+    xf = make_inputs(batch=B, n=6)
+    measure("lab  f32 wrapper", jax.jit(cg.clahe_lab_rgb_gather), xf)
+    measure("luma f32 wrapper", jax.jit(functools.partial(cl.clahe_luma_rgb)), xf)
+
+
+@exp("trainsplit")
+def run_trainsplit():
+    """Where does the train step go? Full 7-loss step vs no-perceptual (VGG
+    off) vs forward+backward on a single cheap loss vs forward-only, f32 and
+    bf16. 256px batch 4 (the bench shape)."""
+    from retinex_tpu.config import Config
+    from retinex_tpu.train.train_state import create_train_state, make_train_step
+    from retinex_tpu.train.trainer import build_criterion
+
+    rng = np.random.default_rng(0)
+    size, batch = 256, 4
+    xs = [
+        jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32))
+        for _ in range(6)
+    ]
+
+    for amp in (False, True):
+        tag = "bf16" if amp else "f32"
+        from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+
+        for variant, kw in (
+            ("full 7-loss", {}),
+            ("no perceptual (VGG off)", {"use_perceptual_loss": False}),
+            (
+                "exposure-only",
+                {
+                    "use_perceptual_loss": False,
+                    "weight_smooth": 0.0,
+                    "weight_col": 0.0,
+                    "weight_spa": 0.0,
+                    "weight_decouple": 0.0,
+                },
+            ),
+        ):
+            cfg = Config(use_preact=True, use_aspp=True, use_amp=amp, **kw)
+            model = MultiScaleUPRetinex(
+                use_preact=True, use_aspp=True, dtype=cfg.compute_dtype
+            )
+            state = create_train_state(
+                model, jax.random.PRNGKey(0), (batch, size, size, 3), lambda s: 1e-4
+            )
+            step = make_train_step(model, build_criterion(cfg), mesh=None, donate=False)
+
+            def f(x, state=state, step=step):
+                new_state, loss_dict = step(state, x)
+                return loss_dict["total"]
+
+            measure(f"{tag} {variant}", f, xs, k_big=5, batch=batch)
+
+        # forward-only floor
+        cfg = Config(use_preact=True, use_aspp=True, use_amp=amp)
+        model = MultiScaleUPRetinex(
+            use_preact=True, use_aspp=True, dtype=cfg.compute_dtype
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+
+        @jax.jit
+        def fwd(x):
+            return model.apply(variables, x, train=False)[0]
+
+        measure(f"{tag} forward-only (eval)", fwd, xs, k_big=5, batch=batch)
+
+
 @exp("barriers5")
 def run_barriers5():
     """optimization_barrier placement in the 5D pipeline: the fwd->tables

@@ -80,6 +80,21 @@ def test_batched_net_mode_matches_single(image_dir, tmp_path):
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
+def test_batched_clahe_luma_matches_single(image_dir, tmp_path):
+    out_b = tmp_path / "batched_luma"
+    out_s = tmp_path / "single_luma"
+    timings = enhance_batch_images(
+        None, str(image_dir), str(out_b), classical_mode="clahe_luma", batch_size=4
+    )
+    assert len(timings) == 5
+    enhance_single_image(
+        None, str(image_dir / "wide_0.png"), str(out_s), classical_mode="clahe_luma"
+    )
+    a = np.asarray(Image.open(out_b / "wide_0_enhanced.png"))
+    b = np.asarray(Image.open(out_s / "wide_0_enhanced.png"))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_batched_msr_runs(image_dir, tmp_path):
     timings = enhance_batch_images(
         None, str(image_dir), str(tmp_path / "msr"), classical_mode="msr", batch_size=8

@@ -1,0 +1,104 @@
+"""Luma-gain fast CLAHE (ops/clahe_luma.py): Pallas kernel vs XLA oracle.
+
+The Pallas kernels run in interpreter mode on CPU; the real-hardware lowering
+is exercised by scripts/perf_lab.py lumafast and bench.py. The two
+formulations share the LUT build (`_tables_stage` / `clahe_u8_fast`, both
+golden-tested vs cv2) and the multiply arrangement, so they must agree up to
+FMA formation at exact .5 blend ties (+-1 level on a tiny pixel fraction).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from retinex_tpu.ops.clahe_fast import clahe_u8_fast
+from retinex_tpu.ops.clahe_luma import (
+    _luma_u8,
+    clahe_luma_rgb,
+    clahe_luma_rgb_u8,
+    clahe_luma_rgb_u8_planar,
+    clahe_luma_rgb_u8_xla,
+)
+
+SHAPE = (2, 128, 1024, 3)  # hh=8, hw=64: small valid gather-kernel case
+
+
+@pytest.fixture(scope="module")
+def img_u8():
+    r = np.random.default_rng(11)
+    # Dark-skewed so the CLAHE gain is well above 1 on many pixels.
+    x = (r.random(SHAPE) ** 1.7) * 255.0
+    return jnp.asarray(np.round(x).astype(np.uint8))
+
+
+def test_kernel_matches_xla_oracle(img_u8):
+    want = np.asarray(clahe_luma_rgb_u8_xla(img_u8)).astype(np.int32)
+    got = np.asarray(clahe_luma_rgb_u8(img_u8, interpret=True)).astype(np.int32)
+    d = np.abs(want - got)
+    assert d.max() <= 1, f"max diff {d.max()} levels"
+    assert (d > 0).mean() < 1e-3, f"mismatch fraction {(d > 0).mean()}"
+
+
+def test_planar_and_nhwc_agree(img_u8):
+    xp = jnp.transpose(img_u8, (0, 3, 1, 2))
+    out_p = np.asarray(clahe_luma_rgb_u8_planar(xp, interpret=True))
+    out_n = np.asarray(clahe_luma_rgb_u8(img_u8, interpret=True))
+    np.testing.assert_array_equal(out_p.transpose(0, 2, 3, 1), out_n)
+
+
+def test_float_entry_routes_and_scales(img_u8):
+    x = img_u8.astype(jnp.float32) / 255.0
+    out = np.asarray(clahe_luma_rgb(x))  # CPU -> XLA formulation
+    want = np.asarray(clahe_luma_rgb_u8_xla(img_u8)).astype(np.float32) / 255.0
+    np.testing.assert_allclose(out, want, atol=1e-7)
+    assert out.shape == SHAPE and out.dtype == np.float32
+
+
+def test_hwc_squeeze(img_u8):
+    one = img_u8[0]
+    out = np.asarray(clahe_luma_rgb_u8_xla(one))
+    assert out.shape == one.shape
+    np.testing.assert_array_equal(out, np.asarray(clahe_luma_rgb_u8_xla(img_u8))[0])
+
+
+def test_luma_gain_semantics(img_u8):
+    """The algorithm's contract: output = rgb scaled by the equalized-luma
+    ratio, computed here from first principles with clahe_u8_fast."""
+    out = np.asarray(clahe_luma_rgb_u8_xla(img_u8)).astype(np.float64)
+    xp = np.asarray(img_u8).astype(np.float64)
+    y = np.asarray(_luma_u8(jnp.transpose(img_u8, (0, 3, 1, 2)))).astype(np.float64)
+    y_eq = np.asarray(
+        clahe_u8_fast(jnp.asarray(y.astype(np.uint8)), clip_limit=2.0)
+    ).astype(np.float64)
+    gain = (y_eq + 1.0) / (y + 1.0)
+    want = np.clip(np.round(xp * gain[..., None]), 0, 255)
+    d = np.abs(out - want)
+    # f32-vs-f64 blend ties (eager vs jitted FMA formation) flip y_eq by 1 on
+    # a tiny fraction; the gain can amplify that to ~2 output levels.
+    assert d.max() <= 3, f"max diff {d.max()}"
+    assert (d > 1).mean() < 1e-3, f"mismatch fraction {(d > 1).mean()}"
+
+
+def test_unsupported_shape_raises():
+    bad = jnp.zeros((1, 3, 100, 1024), jnp.uint8)
+    with pytest.raises(ValueError):
+        clahe_luma_rgb_u8_planar(bad)
+
+
+def test_xla_fallback_arbitrary_shape():
+    r = np.random.default_rng(3)
+    x = jnp.asarray((r.random((1, 101, 217, 3)) * 255).astype(np.uint8))
+    out = np.asarray(clahe_luma_rgb_u8_xla(x))
+    assert out.shape == x.shape and out.dtype == np.uint8
+    # Float entry falls back to the same path for unsupported shapes.
+    f = np.asarray(clahe_luma_rgb(x.astype(jnp.float32) / 255.0, use_pallas=True))
+    np.testing.assert_allclose(f, out.astype(np.float32) / 255.0, atol=1e-7)
+
+
+def test_black_and_flat_inputs():
+    black = jnp.zeros((1, 128, 1024, 3), jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(clahe_luma_rgb_u8_xla(black)), 0)
+    flat = jnp.full((1, 128, 1024, 3), 100, jnp.uint8)
+    out = np.asarray(clahe_luma_rgb_u8_xla(flat)).astype(np.int32)
+    # A flat image equalizes to (nearly) itself; the gain stays near 1.
+    assert np.abs(out - 100).max() <= 26  # cv2 CLAHE maps a flat tile via CDF midpoint

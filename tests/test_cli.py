@@ -46,6 +46,23 @@ def test_cli_enhance_classical(tmp_path):
     assert os.path.exists(os.path.join(out, "102708607-003694-003694_enhanced.png"))
 
 
+def test_cli_enhance_clahe_luma(tmp_path):
+    """The fast luma-gain mode routes end-to-end without building the net."""
+    from retinex_tpu.cli import main
+
+    out = str(tmp_path / "out")
+    main(
+        [
+            "--mode", "enhance",
+            "--input_path", SRC,
+            "--output_dir", out,
+            "--max_size", "128",
+            "--classical_mode", "clahe_luma",
+        ]
+    )
+    assert os.path.exists(os.path.join(out, "102708607-003694-003694_enhanced.png"))
+
+
 def test_cli_enhance_untrained_net(tmp_path):
     from retinex_tpu.cli import main
 
