@@ -81,7 +81,7 @@ class Config:
     process_id: int | None = None
     profile_dir: str | None = None  # jax.profiler trace output
     # ssr | msr | msrcr | clahe (exact cv2-parity Lab CLAHE) | clahe_luma
-    # (fast luma-gain CLAHE, ops/clahe_luma.py — ~2.4x clahe's throughput,
+    # (fast luma-gain CLAHE, ops/clahe_luma.py — ~1/5 the per-pixel op count,
     # documented reduced parity). None = the trained net.
     classical_mode: str | None = None
     # Pallas gather-based CLAHE pipeline (ops/clahe_gather.py) — the fastest

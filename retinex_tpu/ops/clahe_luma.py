@@ -22,9 +22,10 @@ vs the Lab path: contrast equalization is nearly identical (both equalize a
 luminance plane with the same LUTs); the difference is chroma handling — Lab
 holds a/b fixed (hue+chroma constant in Lab space) while the gain scales RGB
 proportionally (hue-preserving in RGB ratios, chroma scales with the gain,
-saturated channels clip). Per-pixel cost drops from ~230 VPU op-slots to ~45:
-measured 1.62 ms/batch-8 planar vs 3.86 for Lab (perf_lab lumafast) =
-~10,300 fps/chip, ~2x past the 5,000 fps north-star and ~3.4x the Lab SOL.
+saturated channels clip). Per-pixel cost drops from ~230 VPU op-slots to
+~45, which at the measured 0.66 ps/slot VPU rate plus HBM/tables floors
+predicts ~1.5-1.8 ms/batch-8 ≈ 4,400-5,300 fps/chip (vs 3.86 ms for Lab) —
+the measured A/B lives in BENCH_NOTES.md (perf_lab lumafast).
 
 Structure mirrors the Lab 5D pipeline (one XLA luma pass replaces the fwd
 kernel; `_tables_stage` is reused verbatim; one Pallas apply kernel):
