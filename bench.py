@@ -181,18 +181,22 @@ def bench_classical(on_tpu: bool):
 
         # Fast luma-gain mode (ops/clahe_luma.py): the documented
         # reduced-parity alternative past the Lab pipeline's speed-of-light
-        # (BENCH_NOTES.md round-3 SOL analysis).
-        from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8_planar
+        # (BENCH_NOTES.md round-3 SOL analysis). Guarded so a kernel-lowering
+        # failure can't take down the f32 headline metric below.
+        try:
+            from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8_planar
 
-        dt_lu = measure_batch_seconds(
-            clahe_luma_rgb_u8_planar, inputs_planar, k_big=k_big
-        )
-        emit(
-            "classical_enhance_1080p_u8_luma_fast_fps_per_chip",
-            batch / dt_lu,
-            "frames/sec",
-            (batch / dt_lu) / BASELINE_FPS,
-        )
+            dt_lu = measure_batch_seconds(
+                clahe_luma_rgb_u8_planar, inputs_planar, k_big=k_big
+            )
+            emit(
+                "classical_enhance_1080p_u8_luma_fast_fps_per_chip",
+                batch / dt_lu,
+                "frames/sec",
+                (batch / dt_lu) / BASELINE_FPS,
+            )
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            print(f"# luma-fast bench failed: {type(e).__name__}: {e}", flush=True)
 
     fn = jax.jit(clahe_lab_rgb)  # auto-routes: gather kernel on TPU, XLA on CPU
     dt = measure_batch_seconds(fn, inputs_f32, k_big=k_big)
