@@ -2062,6 +2062,24 @@ def run_lumafast():
         jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
         for _ in range(6)
     ]
+
+    # On-chip kernel-vs-XLA-oracle parity first (the CPU tests only cover
+    # interpret mode; this is the real Mosaic lowering).
+    want = np.asarray(
+        cl.clahe_luma_rgb_u8_xla(xs[0].transpose(0, 2, 3, 1))
+    ).astype(np.int32)
+    got = (
+        np.asarray(cl.clahe_luma_rgb_u8_planar(xs[0]))
+        .transpose(0, 2, 3, 1)
+        .astype(np.int32)
+    )
+    d = np.abs(want - got)
+    print(
+        f"on-chip parity vs XLA oracle: maxd {d.max()} frac>0 {(d > 0).mean():.2e}",
+        flush=True,
+    )
+    assert d.max() <= 2, "luma kernel diverges from the XLA oracle on-chip"
+
     for rep in range(3):
         measure(f"[{rep}] lab  planar 5D", jax.jit(cg.clahe_rgb_u8_planar_gather5), xs)
         measure(f"[{rep}] luma planar 5D", jax.jit(cl.clahe_luma_rgb_u8_planar), xs)
