@@ -156,3 +156,22 @@ def test_sharded_enhance_matches_single_device(image_dir, tmp_path):
         a = np.asarray(Image.open(out_1 / f))
         b = np.asarray(Image.open(out_8 / f))
         np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+def test_sharded_clahe_luma_matches_single_device(image_dir, tmp_path):
+    from retinex_tpu.parallel.mesh import create_mesh
+
+    out_1 = tmp_path / "luma1"
+    out_8 = tmp_path / "luma8"
+    enhance_batch_images(
+        None, str(image_dir), str(out_1), classical_mode="clahe_luma", batch_size=4
+    )
+    timings = enhance_batch_images(
+        None, str(image_dir), str(out_8), classical_mode="clahe_luma", batch_size=4,
+        mesh=create_mesh(8),
+    )
+    assert len(timings) == 5
+    for f in os.listdir(out_1):
+        a = np.asarray(Image.open(out_1 / f))
+        b = np.asarray(Image.open(out_8 / f))
+        np.testing.assert_array_equal(a, b, err_msg=f)
