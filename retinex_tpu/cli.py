@@ -136,6 +136,8 @@ def run(config: Config):
                 enable_content_aware=config.content_aware,
                 classical_mode=config.classical_mode,
                 use_pallas=config.use_pallas_clahe,
+                clip_limit=config.clahe_clip_limit,
+                tiles=config.clahe_tiles,
             )
         if input_path.is_dir():
             from retinex_tpu.infer.batch_driver import maybe_mesh
@@ -148,6 +150,8 @@ def run(config: Config):
                 classical_mode=config.classical_mode,
                 use_pallas=config.use_pallas_clahe,
                 mesh=maybe_mesh(config.n_devices),
+                clip_limit=config.clahe_clip_limit,
+                tiles=config.clahe_tiles,
             )
         raise FileNotFoundError(f"Input path does not exist: {config.input_path}")
 

@@ -89,6 +89,11 @@ class Config:
     # default; automatically falls back to the XLA path on CPU or on shapes
     # the gather kernel doesn't support. --no-use_pallas_clahe forces XLA.
     use_pallas_clahe: bool = True
+    # CLAHE knobs for the STANDALONE clahe/clahe_luma classical modes. The
+    # adaptive (net) post-processing keeps the reference's fixed 2.0 / 8x8
+    # (enhancers/adaptive_params.py:149).
+    clahe_clip_limit: float = 2.0
+    clahe_tiles: int = 8
     # Space-to-depth packed net inference (models/packed_inference.py): exact
     # up to float reassociation and strictly faster on TPU (16.6 vs 11.9 fps
     # at 1080p, BENCH_NOTES.md). On by default; odd-sized inputs fall back to

@@ -138,18 +138,22 @@ def enhance_single_image(
     classical_mode: str | None = None,
     use_pallas: bool | None = None,
     save_outputs: bool = True,
+    clip_limit: float = 2.0,
+    tiles: int = 8,
 ):
     """Route one image through exactly one pipeline and save
     enhanced/illumination/comparison PNGs
     (reference: enhancers/simple_enhance.py:135-199 + the main.py:246
     `adjuster=` keyword, which the reference forgot to accept — fixed here,
-    see PARITY.md)."""
+    see PARITY.md). clip_limit/tiles apply to the standalone clahe/clahe_luma
+    modes only; the adaptive path keeps the reference's fixed 2.0 / 8x8
+    (enhancers/adaptive_params.py:149)."""
     img, _original_size = load_image(image_path, max_size)
     x = jnp.asarray(img)
 
     start = time.time()
     if classical_mode in CLASSICAL_MODES:
-        enhanced = _classical_enhance(x, classical_mode, use_pallas)
+        enhanced = _classical_enhance(x, classical_mode, use_pallas, clip_limit, tiles)
         illu = rgb_to_luma(jnp.asarray(img))  # luminance stands in for the net's illu map
     elif enable_content_aware:
         enhanced, illu = ContentAwareEnhancer().apply_content_aware_enhancement(apply_fn, x)
@@ -170,7 +174,13 @@ def enhance_single_image(
     return enhanced, illu, elapsed
 
 
-def _classical_enhance(x: jnp.ndarray, classical_mode: str, use_pallas):
+def _classical_enhance(
+    x: jnp.ndarray,
+    classical_mode: str,
+    use_pallas,
+    clip_limit: float = 2.0,
+    tiles: int = 8,
+):
     """Route the no-net classical pipelines (batched NHWC or single HWC)."""
     if classical_mode == "ssr":
         return ssr_enhance(x)
@@ -179,13 +189,13 @@ def _classical_enhance(x: jnp.ndarray, classical_mode: str, use_pallas):
         # enhancer — the BASELINE throughput configuration).
         from retinex_tpu.ops.clahe import clahe_lab_rgb
 
-        return clahe_lab_rgb(x, use_pallas=use_pallas)
+        return clahe_lab_rgb(x, clip_limit=clip_limit, tiles=tiles, use_pallas=use_pallas)
     if classical_mode == "clahe_luma":
         # Fast luma-gain CLAHE (ops/clahe_luma.py): reduced-parity mode past
         # the Lab pipeline's speed-of-light (BENCH_NOTES.md round-3 SOL).
         from retinex_tpu.ops.clahe_luma import clahe_luma_rgb
 
-        return clahe_luma_rgb(x, use_pallas=use_pallas)
+        return clahe_luma_rgb(x, clip_limit=clip_limit, tiles=tiles, use_pallas=use_pallas)
     return msr_enhance(x, mode=classical_mode)
 
 
@@ -200,6 +210,8 @@ def enhance_batch_images(
     num_workers: int = 8,
     save_outputs: bool = True,
     mesh=None,
+    clip_limit: float = 2.0,
+    tiles: int = 8,
 ):
     """Batch enhance over a directory, N frames per device dispatch.
 
@@ -260,16 +272,22 @@ def enhance_batch_images(
             if (
                 mode_key in ("clahe", "clahe_luma")
                 and on_accel
-                and gather_supported(batch_u8.shape[1], batch_u8.shape[2], 8, 8)
+                and gather_supported(batch_u8.shape[1], batch_u8.shape[2], tiles, tiles)
             ):
                 if mode_key == "clahe_luma":
                     from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8
 
-                    return clahe_luma_rgb_u8(batch_u8), None
-                return clahe_rgb_u8_gather(batch_u8), None
+                    return clahe_luma_rgb_u8(
+                        batch_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles
+                    ), None
+                return clahe_rgb_u8_gather(
+                    batch_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles
+                ), None
             x = batch_u8.astype(jnp.float32) / 255.0
             if mode_key in CLASSICAL_MODES:
-                return quant(_classical_enhance(x, mode_key, use_pallas)), None
+                return quant(
+                    _classical_enhance(x, mode_key, use_pallas, clip_limit, tiles)
+                ), None
             out, illu = adjuster.apply_adaptive_enhancement(apply_fn, x, use_pallas=use_pallas)
             return quant(out), quant(illu)
 

@@ -63,6 +63,29 @@ def test_cli_enhance_clahe_luma(tmp_path):
     assert os.path.exists(os.path.join(out, "102708607-003694-003694_enhanced.png"))
 
 
+def test_cli_clahe_knobs_change_output(tmp_path):
+    """--clahe_clip_limit / --clahe_tiles reach the standalone clahe modes."""
+    import numpy as np
+    from PIL import Image
+
+    from retinex_tpu.cli import main
+
+    outs = {}
+    for tag, extra in (
+        ("default", []),
+        ("strong", ["--clahe_clip_limit", "6.0", "--clahe_tiles", "4"]),
+    ):
+        out = str(tmp_path / tag)
+        main(
+            ["--mode", "enhance", "--input_path", SRC, "--output_dir", out,
+             "--max_size", "128", "--classical_mode", "clahe_luma"] + extra
+        )
+        outs[tag] = np.asarray(
+            Image.open(os.path.join(out, "102708607-003694-003694_enhanced.png"))
+        )
+    assert not np.array_equal(outs["default"], outs["strong"])
+
+
 def test_cli_enhance_untrained_net(tmp_path):
     from retinex_tpu.cli import main
 
