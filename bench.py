@@ -166,8 +166,9 @@ def bench_classical(on_tpu: bool):
             "frames/sec",
             (batch / dt_u8) / BASELINE_FPS,
         )
-        # Planar ingest: what the batched enhance driver feeds from the native
-        # decoder's planar mode (no NHWC<->planar relayouts).
+        # Planar ingest: the pipeline with no NHWC<->planar device relayouts
+        # (what a planar-decoding host loader would feed; the current batched
+        # driver ships NHWC, measured above).
         inputs_planar = [jnp.transpose(v, (0, 3, 1, 2)) for v in inputs_u8]
         dt_pl = measure_batch_seconds(
             clahe_rgb_u8_planar_gather, inputs_planar, k_big=k_big
