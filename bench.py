@@ -96,6 +96,25 @@ def bench_train_step(on_tpu: bool):
         tag = "_bf16" if amp else ""
         emit(f"train_step_{size}px_b{batch}{tag}_steps_per_sec", 1.0 / dt, "steps/sec")
 
+        # s2d-packed train step (models/packed_train.py — exact rewrite,
+        # tests/test_packed_train.py). Measured alongside the standard step
+        # as the full-graph A/B that gates the packed_train config default.
+        try:
+            step_pk = make_train_step(model, criterion, mesh=None, donate=False, packed=True)
+
+            def run_pk(b, step=step_pk, state=state):
+                new_state, losses = step(state, b)
+                return losses["total"]
+
+            dt_pk = measure_batch_seconds(run_pk, batches, k_big=5)
+            emit(
+                f"train_step_{size}px_b{batch}{tag}_packed_steps_per_sec",
+                1.0 / dt_pk,
+                "steps/sec",
+            )
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            print(f"# packed train bench failed: {type(e).__name__}: {e}", flush=True)
+
 
 def bench_net(on_tpu: bool):
     from retinex_tpu.models.packed_inference import PackedRetinex

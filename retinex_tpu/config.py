@@ -99,6 +99,15 @@ class Config:
     # at 1080p, BENCH_NOTES.md). On by default; odd-sized inputs fall back to
     # the standard forward automatically.
     packed_inference: bool = True
+    # Space-to-depth packed TRAINING (models/packed_train.py): the train-mode
+    # forward+backward with the narrow full/half-res convs run 4x wider on
+    # the MXU. Same parameters, batch-stats pytree, and losses up to float
+    # reassociation (tests/test_packed_train.py); checkpoints interchange
+    # with the standard path. Requires image_size divisible by 32 (letterbox
+    # default); falls back to the standard step otherwise. Opt-in until the
+    # full-graph TPU A/B lands (bench.py measures both; repo rule: no default
+    # flips without an in-graph measurement — BENCH_NOTES.md).
+    packed_train: bool = False
     log_every: int = 100  # batches between TB scalar writes (reference: 100)
     progress_bar: bool = True  # tqdm batch bar (reference: trainers/train.py:61)
 

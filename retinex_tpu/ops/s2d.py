@@ -119,6 +119,83 @@ def pack_pointwise(kernel: jnp.ndarray) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def _pack_s1_map(k: int, dilation: int) -> np.ndarray:
+    """Constant placement tensor M[kp,kp,xq,yq,u,v] (0/1) such that
+    packed[p,q, xq*Cin+i, yq*Cout+o] = sum_{u,v} M[p,q,xq,yq,u,v] k[u,v,i,o]
+    reproduces :func:`pack_kernel_s1`."""
+    r = k // 2
+    rd = r * dilation
+    p_min = int(np.floor(-rd / 2))
+    p_max = int(np.floor((rd + 1) / 2))
+    kp = p_max - p_min + 1
+    m = np.zeros((kp, kp, 4, 4, k, k), np.float32)
+    for c_q in range(2):
+        for d_q in range(2):
+            for u in range(-r, r + 1):
+                for v in range(-r, r + 1):
+                    ue, ve = u * dilation, v * dilation
+                    a = (c_q + ue) & 1
+                    p = (c_q + ue) >> 1
+                    b_ = (d_q + ve) & 1
+                    q = (d_q + ve) >> 1
+                    m[p - p_min, q - p_min, a * 2 + b_, c_q * 2 + d_q, u + r, v + r] += 1.0
+    return m
+
+
+def _pack_s2_map(k: int) -> np.ndarray:
+    """Placement tensor M[kp,kp,xq,u,v] reproducing :func:`pack_kernel_s2`."""
+    r = k // 2
+    p_min = int(np.floor(-r / 2))
+    p_max = int(np.floor(r / 2))
+    kp = p_max - p_min + 1
+    m = np.zeros((kp, kp, 4, k, k), np.float32)
+    for u in range(-r, r + 1):
+        for v in range(-r, r + 1):
+            m[(u >> 1) - p_min, (v >> 1) - p_min, (u & 1) * 2 + (v & 1), u + r, v + r] += 1.0
+    return m
+
+
+def pack_kernel_s1_t(kernel: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
+    """Traceable/differentiable :func:`pack_kernel_s1` (einsum against a
+    constant 0/1 placement tensor — a pure permutation, exact in any dtype).
+    Used by the packed TRAIN path, where the packing sits inside the jitted
+    step so gradients flow back to the original Flax parameters."""
+    k, _, cin, cout = kernel.shape
+    m = jnp.asarray(_pack_s1_map(k, int(dilation)))
+    out = jnp.einsum("pqxyuv,uvio->pqxiyo", m, kernel.astype(jnp.float32))
+    return out.reshape(m.shape[0], m.shape[1], 4 * cin, 4 * cout)
+
+
+def pack_kernel_s2_t(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Traceable/differentiable :func:`pack_kernel_s2`."""
+    k, _, cin, cout = kernel.shape
+    m = jnp.asarray(_pack_s2_map(k))
+    out = jnp.einsum("pqxuv,uvio->pqxio", m, kernel.astype(jnp.float32))
+    return out.reshape(m.shape[0], m.shape[1], 4 * cin, cout)
+
+
+def pack_pointwise_t(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Traceable/differentiable :func:`pack_pointwise`."""
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    out = jnp.einsum(
+        "xy,io->xiyo", jnp.eye(4, dtype=jnp.float32), kernel[0, 0].astype(jnp.float32)
+    )
+    return out.reshape(1, 1, 4 * cin, 4 * cout)
+
+
+def pack_convtranspose2_t(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Traceable/differentiable quadrant packing of a flax ConvTranspose
+    k2s2 kernel [2,2,Cin,Cout] -> pointwise [1,1,Cin,4Cout] (the flipped-
+    quadrant rule of models/packed_inference._pack_convtranspose2)."""
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    f = np.zeros((4, 2, 2), np.float32)
+    for c in range(2):
+        for d in range(2):
+            f[c * 2 + d, 1 - c, 1 - d] = 1.0
+    out = jnp.einsum("yuv,uvio->iyo", jnp.asarray(f), kernel.astype(jnp.float32))
+    return out.reshape(1, 1, cin, 4 * cout)
+
+
 def conv_im2col(
     x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
     relu: bool = False,

@@ -70,25 +70,41 @@ def create_train_state(
     )
 
 
-def make_train_step(model, criterion: TotalLoss, mesh=None, donate: bool = True):
+def make_train_step(
+    model, criterion: TotalLoss, mesh=None, donate: bool = True, packed: bool = False
+):
     """Build the jitted train step.
 
     step(state, batch) -> (state, loss_dict); batch is NHWC float [0,1],
     sharded over `data` when a mesh is given. The scheduler's learning rate is
     a function of state.step mapped to epochs by the caller's schedule.
+
+    packed=True evaluates the train-mode forward with the full/half-res
+    stages s2d-packed (models/packed_train.py) — same parameters, same
+    batch-stats pytree, same losses up to float reassociation; the narrow
+    convs (and their backward convs) run 4x wider on the MXU. Requires
+    H, W divisible by 32 (letterbox guarantees this).
     """
 
     def step_fn(state: RetinexTrainState, batch: jnp.ndarray):
         dropout_rng = jax.random.fold_in(state.dropout_rng, state.step)
 
         def loss_fn(params):
-            (enhanced, reflectance, illu), updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch,
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng},
-            )
+            if packed:
+                from retinex_tpu.models.packed_train import packed_train_apply
+
+                (enhanced, reflectance, illu), new_bs = packed_train_apply(
+                    model, params, state.batch_stats, batch, dropout_rng
+                )
+                updates = {"batch_stats": new_bs}
+            else:
+                (enhanced, reflectance, illu), updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": dropout_rng},
+                )
             total, loss_dict, new_loss_state = criterion(
                 batch, enhanced, illu, reflectance, state.loss_state
             )

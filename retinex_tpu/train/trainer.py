@@ -137,7 +137,10 @@ def train(config: Config) -> dict:
         state, start_epoch, best_loss = load_checkpoint(state, config.resume)
         print(f"Resumed from {config.resume} at epoch {start_epoch}")
 
-    train_step = make_train_step(model, criterion, mesh=mesh)
+    use_packed = config.packed_train and config.image_size % 32 == 0
+    if config.packed_train and not use_packed:
+        print("packed_train: image_size not divisible by 32, using standard step")
+    train_step = make_train_step(model, criterion, mesh=mesh, packed=use_packed)
 
     if proc_idx == 0:
         log_dir = os.path.join(config.save_dir, "logs", datetime.now().strftime("%Y%m%d_%H%M%S"))

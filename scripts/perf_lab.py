@@ -2158,6 +2158,51 @@ def run_trainsplit():
         measure(f"{tag} forward-only (eval)", fwd, xs, k_big=5, batch=batch)
 
 
+@exp("trainpacked")
+def run_trainpacked():
+    """Standard vs s2d-packed train step (models/packed_train.py), interleaved
+    same-process A/B (the only trustworthy comparison on axon). Full 7-loss
+    step at the bench shape (256px b4) and a larger-batch point, f32 + bf16.
+    Gates the Config.packed_train default."""
+    from retinex_tpu.config import Config
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+    from retinex_tpu.train.train_state import create_train_state, make_train_step
+    from retinex_tpu.train.trainer import build_criterion
+
+    rng = np.random.default_rng(0)
+    for size, batch in ((256, 4), (256, 16)):
+        xs = [
+            jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32))
+            for _ in range(6)
+        ]
+        for amp in (False, True):
+            tag = f"{'bf16' if amp else 'f32'} {size}px b{batch}"
+            cfg = Config(use_preact=True, use_aspp=True, use_amp=amp)
+            model = MultiScaleUPRetinex(
+                use_preact=True, use_aspp=True, dtype=cfg.compute_dtype
+            )
+            criterion = build_criterion(cfg)
+            state = create_train_state(
+                model, jax.random.PRNGKey(0), (batch, size, size, 3), lambda s: 1e-4
+            )
+            steps = {
+                "standard": make_train_step(model, criterion, mesh=None, donate=False),
+                "packed": make_train_step(
+                    model, criterion, mesh=None, donate=False, packed=True
+                ),
+            }
+            fns = {}
+            for name, step in steps.items():
+                def f(x, state=state, step=step):
+                    new_state, loss_dict = step(state, x)
+                    return loss_dict["total"]
+                fns[name] = f
+            # interleave reps: std, packed, std, packed ...
+            for rep in range(3):
+                for name, f in fns.items():
+                    measure(f"{tag} {name} (rep {rep})", f, xs, k_big=5, batch=batch)
+
+
 @exp("barriers5")
 def run_barriers5():
     """optimization_barrier placement in the 5D pipeline: the fwd->tables
