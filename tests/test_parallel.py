@@ -83,3 +83,27 @@ def test_sharded_step_runs_multiple_iterations(setup):
         totals.append(float(d["total"]))
     assert all(np.isfinite(t) for t in totals)
     assert totals[-1] < totals[0]  # optimizing a fixed batch must descend
+
+
+def test_sharded_packed_step_matches_single_device(setup):
+    """The s2d-packed train step (models/packed_train.py) under the data mesh:
+    GSPMD shards the packed graph like the standard one; losses and the first
+    optimizer step match the single-device packed step."""
+    model, criterion, state, batch = setup
+    mesh = create_mesh()
+
+    step_single = make_train_step(model, criterion, mesh=None, donate=False, packed=True)
+    step_sharded = make_train_step(model, criterion, mesh=mesh, donate=False, packed=True)
+
+    s1, d1 = step_single(state, jnp.asarray(batch))
+    s8, d8 = step_sharded(state, shard_batch(batch, mesh))
+
+    assert float(d1["total"]) == pytest.approx(float(d8["total"]), rel=1e-4)
+    lr = 1e-3
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p8 = jax.tree_util.tree_leaves(s8.params)
+    diffs = np.concatenate(
+        [np.abs(np.asarray(a) - np.asarray(b)).ravel() for a, b in zip(p1, p8)]
+    )
+    assert diffs.max() <= 2.1 * lr, diffs.max()
+    assert np.quantile(diffs, 0.99) < 1e-4, np.quantile(diffs, 0.99)
