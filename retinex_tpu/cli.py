@@ -52,6 +52,28 @@ def _build_apply_fn(config: Config, require_checkpoint: bool):
         print("Using untrained model weights (enhance mode default, like the reference)")
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
 
+    if config.spatial_shard:
+        from retinex_tpu.parallel.mesh import create_mesh, replicate
+        from retinex_tpu.parallel.spatial import make_spatial_forward, spatial_sharding
+
+        mesh = create_mesh(config.n_devices)
+        n = mesh.devices.size
+        if n > 1:
+            print(f"Spatial sharding: H split over {n} devices (conv halos via GSPMD)")
+            sfwd = make_spatial_forward(model, mesh)
+            vrep = jax.device_put(variables, replicate(mesh))
+            plain = jax.jit(lambda b: model.apply(variables, b, train=False))
+            in_shard = spatial_sharding(mesh)
+
+            def apply_fn(batch):
+                if batch.shape[1] % (8 * n) == 0:
+                    return sfwd(vrep, jax.device_put(batch, in_shard))
+                print(f"  H={batch.shape[1]} not divisible by {8 * n}; single-device fallback")
+                return plain(batch)
+
+            return apply_fn
+        print("Spatial sharding requested but only one device is visible; ignoring")
+
     if config.packed_inference:
         from retinex_tpu.models.packed_inference import PackedRetinex
 

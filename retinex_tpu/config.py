@@ -108,6 +108,12 @@ class Config:
     # full-graph TPU A/B lands (bench.py measures both; repo rule: no default
     # flips without an in-graph measurement — BENCH_NOTES.md).
     packed_train: bool = False
+    # Spatial (H-axis) sharding for net predict (parallel/spatial.py): split a
+    # single huge frame across all mesh devices; GSPMD inserts the conv halo
+    # exchanges. Useful at batch 1 where data parallelism idles N-1 chips.
+    # Requires H divisible by 8*mesh (falls back to single-device otherwise)
+    # and disables packed_inference for the run.
+    spatial_shard: bool = False
     log_every: int = 100  # batches between TB scalar writes (reference: 100)
     progress_bar: bool = True  # tqdm batch bar (reference: trainers/train.py:61)
 

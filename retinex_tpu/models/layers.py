@@ -29,6 +29,48 @@ import jax.numpy as jnp
 from retinex_tpu.ops.resize import resize_bilinear
 
 
+def max_pool_nonneg(x, window: tuple[int, int], strides: tuple[int, int], padding=((0, 0), (0, 0))):
+    """Max pool over H,W of NHWC for NON-NEGATIVE inputs, without reduce_window.
+
+    Equivalent to nn.max_pool for inputs >= 0 (zero padding instead of -inf:
+    a border max that already holds a value >= 0 absorbs the extra 0) — which
+    all pools in this model see (post-ReLU features, [0,1] images).
+
+    Why not nn.max_pool: XLA's SPMD partitioner mis-handles reduce_window
+    halos when the pooled operand is spatially sharded inside a multi-branch
+    fan-out (FAM's 4 branches) — the init/padding value leaks into boundary
+    windows (verified on jax 0.9.0 CPU with a minimal repro: -inf init makes
+    the downstream convs NaN; a finite-lowest init leaks +-3e38). The forms
+    here (reshape-max for window==stride pooling, shifted-slice maxima for
+    stride-1 windows) partition exactly under GSPMD and differentiate cleanly
+    (reduce_window's autodiff rule only matches the -inf max monoid), so the
+    spatially-sharded forward (parallel/spatial.py) and the train step both
+    work. Subgradient at ties distributes like jnp.maximum chains rather than
+    select-and-scatter — an accepted divergence (ties are measure-zero).
+    """
+    kh, kw = window
+    sh, sw = strides
+    (ph0, ph1), (pw0, pw1) = tuple(tuple(p) for p in padding)
+    n, h, w, c = x.shape
+    if (kh, kw) == (sh, sw) and (ph0, ph1, pw0, pw1) == (0, 0, 0, 0):
+        # Non-overlapping pooling: a free reshape + max over the window axes.
+        # VALID semantics: crop the remainder rows/cols like reduce_window does.
+        oh, ow = h // kh, w // kw
+        x = x[:, : oh * kh, : ow * kw]
+        return x.reshape(n, oh, kh, ow, kw, c).max(axis=(2, 4))
+    if (sh, sw) != (1, 1):
+        raise NotImplementedError("max_pool_nonneg: only window==stride or stride-1 pools")
+    y = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    hp, wp = y.shape[1], y.shape[2]
+    out = y[:, 0 : hp - kh + 1]
+    for i in range(1, kh):
+        out = jnp.maximum(out, y[:, i : hp - kh + 1 + i])
+    res = out[:, :, 0 : wp - kw + 1]
+    for j in range(1, kw):
+        res = jnp.maximum(res, out[:, :, j : wp - kw + 1 + j])
+    return res
+
+
 def _bn(dtype, name=None):
     return nn.BatchNorm(
         use_running_average=None,  # provided via module arg
@@ -82,7 +124,7 @@ class EnhancedFAM(nn.Module):
         # Branch 1: pointwise.
         b1 = conv(f, 1, name="branch1")(x)
         # Branch 2: 3x3 max-pool (stride 1) then pointwise.
-        b2 = nn.max_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
+        b2 = max_pool_nonneg(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
         b2 = conv(f, 1, name="branch2_conv")(b2)
         # Branch 3: cascaded 3x3s.
         b3 = nn.relu(conv(f, 3, name="branch3_conv1")(x))

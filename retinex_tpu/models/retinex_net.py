@@ -19,7 +19,14 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from retinex_tpu.models.layers import ASPPModule, EnhancedFAM, PreActResBlock, ResBlock, UpBlock
+from retinex_tpu.models.layers import (
+    ASPPModule,
+    EnhancedFAM,
+    PreActResBlock,
+    ResBlock,
+    UpBlock,
+    max_pool_nonneg,
+)
 from retinex_tpu.ops.resize import resize_bilinear, resize_scale
 
 
@@ -93,7 +100,9 @@ class ScaleTower(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.pool > 1:
-            x = nn.max_pool(x, (self.pool, self.pool), strides=(self.pool, self.pool))
+            # Zero-init pool (input is a [0,1] image): see max_pool_nonneg on
+            # why -inf init breaks under spatial sharding.
+            x = max_pool_nonneg(x, (self.pool, self.pool), strides=(self.pool, self.pool))
         x = nn.relu(nn.Conv(32, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv")(x))
         return EnhancedFAM(32, dtype=self.dtype, name="fam")(x)
 

@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from retinex_tpu.models.layers import max_pool_nonneg
+
 # (name, out_channels) per conv, with pools marked as "pool".
 _SLICE_DEFS = {
     "slice1": [("conv0", 64), ("conv2", 64), "pool"],
@@ -45,7 +47,9 @@ class VGG19Features(nn.Module):
         for slice_name, layers in _SLICE_DEFS.items():
             for layer in layers:
                 if layer == "pool":
-                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                    # Post-ReLU input, so the zero-init pool is exact (and
+                    # spatial-sharding-safe; see layers.max_pool_nonneg).
+                    x = max_pool_nonneg(x, (2, 2), strides=(2, 2))
                 else:
                     name, ch = layer
                     x = nn.relu(

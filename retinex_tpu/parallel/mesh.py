@@ -4,8 +4,8 @@ The reference is single-device (SURVEY.md §2c: no distributed code exists);
 this layer is the TPU-native scale-out design: a 1-D `data` mesh axis, batches
 sharded over it with NamedSharding, parameters replicated, and gradient
 all-reduce left to XLA (it rides ICI within a slice, DCN across slices via
-jax.distributed). The 6.5M-param model replicates trivially; spatial sharding
-of very large images is an explicit non-goal for v1 (SURVEY.md §5).
+jax.distributed). The 6.5M-param model replicates trivially; spatial (H-axis)
+sharding of single huge frames lives in parallel/spatial.py.
 
 Works identically on real TPU slices and on the fake multi-device CPU platform
 used by tests (xla_force_host_platform_device_count).

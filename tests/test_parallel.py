@@ -75,6 +75,9 @@ def test_sharded_step_matches_single_device(setup):
 def test_sharded_step_runs_multiple_iterations(setup):
     model, criterion, state, batch = setup
     mesh = create_mesh()
+    # donate=True consumes the input state's buffers — copy so the
+    # module-scoped fixture stays alive for later tests.
+    state = jax.tree_util.tree_map(jnp.copy, state)
     step = make_train_step(model, criterion, mesh=mesh, donate=True)
     sharded = shard_batch(batch, mesh)
     totals = []

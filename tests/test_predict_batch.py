@@ -73,3 +73,29 @@ def test_predict_batch_sharded_matches(apply_fn, image_dir, tmp_path):
         a = np.asarray(Image.open(out_1 / f))
         b = np.asarray(Image.open(out_8 / f))
         np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+def test_predict_spatial_shard_cli_matches(image_dir, tmp_path):
+    """--spatial_shard predict (cli._build_apply_fn wiring) produces PNGs
+    byte-identical to the standard single-device path."""
+    from retinex_tpu.cli import _build_apply_fn
+    from retinex_tpu.config import Config
+
+    # 96x64 letterboxes to a /32 canvas whose H divides 8*8=64? 96 -> pads to
+    # 96x96... use a 128-tall source so the canvas H is 128 (divisible by 64).
+    rng = np.random.default_rng(7)
+    src = image_dir / "big.png"
+    Image.fromarray(rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)).save(src)
+
+    cfg = dict(mode="predict", checkpoint="", packed_inference=False)
+    fn_plain = _build_apply_fn(Config(**cfg), require_checkpoint=False)
+    fn_spatial = _build_apply_fn(Config(**cfg, spatial_shard=True), require_checkpoint=False)
+
+    out_p = tmp_path / "plain"
+    out_s = tmp_path / "spatial"
+    predict_single_image(fn_plain, str(src), str(out_p))
+    predict_single_image(fn_spatial, str(src), str(out_s))
+    for suffix in ("enhanced", "illumination"):
+        a = np.asarray(Image.open(out_p / f"big_{suffix}.png"))
+        b = np.asarray(Image.open(out_s / f"big_{suffix}.png"))
+        np.testing.assert_array_equal(a, b, err_msg=suffix)
