@@ -228,7 +228,40 @@ def bench_classical(on_tpu: bool):
     )
 
 
+def _probe_backend(timeout_s: int = 600) -> bool:
+    """Fail fast instead of hanging forever when the axon tunnel relay is dead.
+
+    jax.devices() through a dead relay blocks indefinitely (CLAUDE.md: the
+    relay process can die and is not restartable from this VM), which would
+    leave the driver with no bench output at all. Probe in a subprocess with
+    a timeout: on success the probe exits and releases the tunnel for the
+    real run; on timeout the relay was already dead, so killing the probe is
+    harmless.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        print(f"# backend probe: {r.stdout.strip() or r.stderr.strip()[-200:]}", flush=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        print(
+            "# backend probe TIMED OUT: device backend unreachable "
+            "(axon tunnel relay likely dead); aborting instead of hanging",
+            flush=True,
+        )
+        return False
+
+
 def main():
+    if not _probe_backend():
+        raise SystemExit(1)
     on_tpu = jax.devices()[0].platform != "cpu"
     for name, fn in (
         ("train", bench_train_step),
