@@ -52,6 +52,28 @@ def _load():
                 ctypes.c_int,
                 ctypes.c_int,
             ]
+            lib.rtx_encode_png.restype = ctypes.c_int
+            lib.rtx_encode_png.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.rtx_encode_png_batch.restype = ctypes.c_int
+            lib.rtx_encode_png_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
             _lib = lib
         except Exception:
             _load_failed = True
@@ -132,3 +154,54 @@ def decode_letterbox_batch_canvas(
 
         warnings.warn(f"native loader: {n - ok}/{n} images failed to decode (gray-filled)")
     return out
+
+
+# PNG encode defaults: zlib level 1 + SUB filter + standard deflate — measured
+# on a real 1024^2 photo: 48 ms vs PIL's 302 ms (6.3x) at +4% file size
+# (1.27 vs 1.22 MB); worst case (noise-like content) 197 vs 392 ms. Knobs:
+# filters 0=NONE (max speed), 1=SUB, 2=libpng adaptive; strategy 0=deflate,
+# 1=Z_RLE, 2=Z_HUFFMAN_ONLY.
+PNG_LEVEL = 1
+PNG_FILTER_SUB = 1
+PNG_STRATEGY_DEFLATE = 0
+
+
+def encode_png(img_u8: np.ndarray, path: str, level: int = PNG_LEVEL,
+               filters: int = PNG_FILTER_SUB, strategy: int = PNG_STRATEGY_DEFLATE) -> bool:
+    """Encode one [H,W,3] uint8 RGB array to a PNG file via libpng.
+
+    Returns False (caller falls back to PIL) when the native library is
+    unavailable or the write fails."""
+    lib = _load()
+    if lib is None:
+        return False
+    if img_u8.dtype != np.uint8 or img_u8.ndim != 3 or img_u8.shape[2] != 3:
+        return False
+    img_u8 = np.ascontiguousarray(img_u8)
+    return bool(
+        lib.rtx_encode_png(
+            img_u8.ctypes.data, img_u8.shape[0], img_u8.shape[1],
+            path.encode(), level, filters, strategy,
+        )
+    )
+
+
+def encode_png_batch(images: list[np.ndarray], paths: list[str], level: int = PNG_LEVEL,
+                     filters: int = PNG_FILTER_SUB, strategy: int = PNG_STRATEGY_DEFLATE,
+                     num_threads: int = 8) -> int:
+    """Encode N independently-sized [H,W,3] uint8 arrays to PNG files on the
+    C++ thread pool (no GIL). Returns the number of successful writes;
+    raises RuntimeError if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader not available (build native/ first)")
+    n = len(images)
+    images = [np.ascontiguousarray(im) for im in images]
+    for im in images:
+        if im.dtype != np.uint8 or im.ndim != 3 or im.shape[2] != 3:
+            raise ValueError(f"encode_png_batch needs [H,W,3] uint8, got {im.shape} {im.dtype}")
+    ptrs = (ctypes.c_void_p * n)(*[im.ctypes.data for im in images])
+    hs = (ctypes.c_int * n)(*[im.shape[0] for im in images])
+    ws = (ctypes.c_int * n)(*[im.shape[1] for im in images])
+    cpaths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    return lib.rtx_encode_png_batch(ptrs, hs, ws, cpaths, n, level, filters, strategy, num_threads)

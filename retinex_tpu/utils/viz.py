@@ -17,23 +17,33 @@ def _to_hwc(img) -> np.ndarray:
     return np.clip(arr, 0.0, 1.0)
 
 
+def _write_png(arr_u8: np.ndarray, save_path: str):
+    """Write [H,W,3] uint8 as PNG: native libpng encoder when available
+    (level-1 SUB — ~6x PIL's encode speed at +4% size, data/native_loader.py),
+    PIL otherwise. Pixels are identical either way (PNG is lossless)."""
+    if save_path.lower().endswith(".png"):
+        from retinex_tpu.data.native_loader import encode_png
+
+        if encode_png(arr_u8, save_path):
+            return
+    from PIL import Image
+
+    Image.fromarray(arr_u8).save(save_path)
+
+
 def save_image(img, save_path: str):
     """Save a [0,1] float image ([H,W,C], [H,W,1] or batch-1 variants) as PNG;
     single-channel images are replicated to RGB (reference:
     predictors/predict.py:65-99)."""
-    from PIL import Image
-
     arr = _to_hwc(img)
     if arr.shape[-1] == 1:
         arr = np.repeat(arr, 3, axis=-1)
-    Image.fromarray((arr * 255).astype(np.uint8)).save(save_path)
+    _write_png((arr * 255).astype(np.uint8), save_path)
 
 
 def create_comparison(img_low, img_enhanced, illu_map=None, save_path: str | None = None):
     """Horizontal [input | enhanced | (illumination)] strip as uint8 RGB;
     saves if save_path is given, returns the array."""
-    from PIL import Image
-
     panels = [_to_hwc(img_low), _to_hwc(img_enhanced)]
     if illu_map is not None:
         illu = _to_hwc(illu_map)
@@ -42,7 +52,7 @@ def create_comparison(img_low, img_enhanced, illu_map=None, save_path: str | Non
         panels.append(np.repeat(illu, 3, axis=-1))
     strip = (np.concatenate(panels, axis=1) * 255).astype(np.uint8)
     if save_path:
-        Image.fromarray(strip).save(save_path)
+        _write_png(strip, save_path)
     return strip
 
 

@@ -67,3 +67,55 @@ def test_train_loader_uses_native(image_files, tmp_path):
     batch = next(it)
     assert batch.shape == (3, 64, 64, 3)
     assert batch.dtype == np.uint8
+
+
+def test_encode_png_roundtrip(tmp_path):
+    from retinex_tpu.data.native_loader import encode_png
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (70, 90, 3), dtype=np.uint8)
+    path = tmp_path / "out.png"
+    assert encode_png(img, str(path))
+    back = np.asarray(Image.open(path).convert("RGB"))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_encode_png_batch_mixed_sizes(tmp_path):
+    from retinex_tpu.data.native_loader import encode_png_batch
+
+    rng = np.random.default_rng(6)
+    images = [
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for h, w in [(40, 60), (100, 30), (64, 64), (33, 129)]
+    ]
+    paths = [str(tmp_path / f"b{i}.png") for i in range(len(images))]
+    assert encode_png_batch(images, paths, num_threads=4) == len(images)
+    for img, p in zip(images, paths):
+        np.testing.assert_array_equal(np.asarray(Image.open(p).convert("RGB")), img)
+
+
+def test_encode_png_rejects_bad_input(tmp_path):
+    from retinex_tpu.data.native_loader import encode_png
+
+    # wrong dtype / channels -> False (caller falls back to PIL)
+    assert not encode_png(np.zeros((8, 8, 3), np.float32), str(tmp_path / "x.png"))
+    assert not encode_png(np.zeros((8, 8, 4), np.uint8), str(tmp_path / "y.png"))
+    # unwritable directory -> False, no crash
+    assert not encode_png(
+        np.zeros((8, 8, 3), np.uint8), str(tmp_path / "missing_dir" / "z.png")
+    )
+
+
+def test_save_image_uses_native_and_matches_pil(tmp_path):
+    """utils.viz.save_image through the native encoder is pixel-identical to
+    the PIL path (same float->u8 truncation, lossless PNG)."""
+    from PIL import Image as PILImage
+
+    from retinex_tpu.utils.viz import save_image
+
+    rng = np.random.default_rng(7)
+    img = rng.random((50, 80, 3)).astype(np.float32)
+    p_native = tmp_path / "native.png"
+    save_image(img, str(p_native))
+    expected = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(PILImage.open(p_native)), expected)
