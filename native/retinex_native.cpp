@@ -84,6 +84,7 @@ bool decode_png(FILE* f, Image* out) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return false;
   }
+  std::vector<png_bytep> rows;  // before setjmp: longjmp must not skip its dtor
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
@@ -109,7 +110,7 @@ bool decode_png(FILE* f, Image* out) {
   out->w = int(w);
   out->h = int(h);
   out->data.resize(size_t(h) * w * 3);
-  std::vector<png_bytep> rows(h);
+  rows.resize(h);
   for (png_uint_32 y = 0; y < h; ++y) rows[y] = out->data.data() + size_t(y) * w * 3;
   png_read_image(png, rows.data());
   png_destroy_read_struct(&png, &info, nullptr);
@@ -136,6 +137,9 @@ bool encode_png_file(const char* path, const uint8_t* data, int h, int w, int le
     fclose(f);
     return false;
   }
+  // Declared BEFORE setjmp: a libpng error longjmp must not jump over a live
+  // object whose lifetime began after the setjmp (UB + leak per failure).
+  std::vector<png_bytep> rows(h);
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_write_struct(&png, &info);
     fclose(f);
@@ -156,7 +160,6 @@ bool encode_png_file(const char* path, const uint8_t* data, int h, int w, int le
   png_set_IHDR(png, info, png_uint_32(w), png_uint_32(h), 8, PNG_COLOR_TYPE_RGB,
                PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
-  std::vector<png_bytep> rows(h);
   for (int y = 0; y < h; ++y)
     rows[y] = const_cast<png_bytep>(data + size_t(y) * w * 3);
   png_write_image(png, rows.data());

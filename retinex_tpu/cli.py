@@ -131,13 +131,20 @@ def run(config: Config):
         if input_path.is_dir():
             from retinex_tpu.infer.batch_driver import maybe_mesh
 
+            # spatial_shard puts the mesh INSIDE apply_fn (H-axis sharding);
+            # wrapping that in the shard_map batch driver would nest two uses
+            # of the same mesh axis and fail. Batch-parallel is the faster
+            # layout for directories anyway — spatial is for single frames.
+            mesh = None if config.spatial_shard else maybe_mesh(config.n_devices)
+            if config.spatial_shard:
+                print("Directory input: spatial sharding handles each chunk; batch-sharding off")
             return predict_batch(
                 apply_fn,
                 str(input_path),
                 config.output_dir,
                 max_size=config.max_size,
                 save_comparison=not config.no_comparison,
-                mesh=maybe_mesh(config.n_devices),
+                mesh=mesh,
             )
         raise FileNotFoundError(f"Input path does not exist: {config.input_path}")
 
@@ -164,6 +171,9 @@ def run(config: Config):
         if input_path.is_dir():
             from retinex_tpu.infer.batch_driver import maybe_mesh
 
+            # Same mesh-nesting rule as predict: spatial_shard already uses
+            # the mesh inside apply_fn, so the batch driver must not shard.
+            mesh = None if (needs_net and config.spatial_shard) else maybe_mesh(config.n_devices)
             return enhance_batch_images(
                 apply_fn,
                 str(input_path),
@@ -171,7 +181,7 @@ def run(config: Config):
                 max_size=config.max_size,
                 classical_mode=config.classical_mode,
                 use_pallas=config.use_pallas_clahe,
-                mesh=maybe_mesh(config.n_devices),
+                mesh=mesh,
                 clip_limit=config.clahe_clip_limit,
                 tiles=config.clahe_tiles,
             )

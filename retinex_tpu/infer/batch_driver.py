@@ -77,6 +77,16 @@ def decode_bucket(
                 paths, target, out_h, out_w, auto_pad=True, scaleup=False,
                 num_threads=num_workers,
             )
+        if not _warned_native_fallback:
+            _warned_native_fallback = True
+            import warnings
+
+            warnings.warn(
+                "native C++ decode library not available (make -C native); "
+                "using the slower PIL decode path for this process",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     except Exception as e:
         if not _warned_native_fallback:
             _warned_native_fallback = True

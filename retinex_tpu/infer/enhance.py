@@ -272,6 +272,7 @@ def enhance_batch_images(
             if (
                 mode_key in ("clahe", "clahe_luma")
                 and on_accel
+                and use_pallas is not False  # --no-use_pallas_clahe forces XLA
                 and gather_supported(batch_u8.shape[1], batch_u8.shape[2], tiles, tiles)
             ):
                 if mode_key == "clahe_luma":

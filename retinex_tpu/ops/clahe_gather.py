@@ -527,11 +527,16 @@ def _tables_stage(
     # always looked up at the SAME pixel value), then split into two 128-entry
     # halves: entry k*128+e of x-cell c at [.., c, k, e]. One packed gather
     # replaces four u8 gathers; same HBM bytes as four u8 tables.
-    # The byte-pairing happens INSIDE the selection matmul: weights 1/256 in
-    # the 0/1 matrix compute l00 + (l01<<8) exactly in f32 (<= 65535 < 2^24),
-    # and one [64, 2*n_cells] matrix evaluates both pairs — one MXU dispatch
-    # instead of four (the four tiny einsums cost ~0.6 ms of in-graph
-    # layout/dispatch overhead, perf_lab tables3 select-stub, round 3).
+    # The byte-pairing happens INSIDE the selection matmul: weights {1, 256}
+    # in the 0/1 matrix compute l00 + (l01<<8) exactly in f32 (<= 65535 <
+    # 2^24), and one [64, 2*n_cells] matrix evaluates both pairs — one MXU
+    # dispatch instead of four (the four tiny einsums cost ~0.6 ms of
+    # in-graph layout/dispatch overhead, perf_lab tables3 select-stub, r3).
+    # precision=HIGHEST is REQUIRED: at clamped border cells t0x == t1x, so a
+    # weight becomes 1 + 256 = 257 — not bf16-representable — and the TPU
+    # default matmul precision would truncate it to 256, zeroing the low
+    # byte (l00) for the first/last half-tile columns. HIGHEST keeps the
+    # f32 contraction exact (the repo rule for golden-parity contractions).
     s_lo = sel_matrix(t0y, t0x) + 256.0 * sel_matrix(t0y, t1x)
     s_hi = sel_matrix(t1y, t0x) + 256.0 * sel_matrix(t1y, t1x)
     both = jnp.einsum(
@@ -539,6 +544,7 @@ def _tables_stage(
         lf,
         jnp.concatenate([s_lo, s_hi], axis=1),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     lo, hi = both[:, :n_cells], both[:, n_cells:]
     packed = lo | (hi << 16)

@@ -210,6 +210,10 @@ def train(config: Config) -> dict:
         avg_losses = {
             k: float(sums_np[i]) / max(num_batches, 1) for i, k in enumerate(sum_keys)
         }
+        if "total" not in avg_losses:
+            # Loader yielded zero batches this epoch (degenerate dataset /
+            # drop-to-multiple edge): keep the loop alive rather than KeyError.
+            avg_losses["total"] = float("inf")
         for k, v in avg_losses.items():
             loss_history[k].append(v)
 

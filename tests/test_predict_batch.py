@@ -99,3 +99,34 @@ def test_predict_spatial_shard_cli_matches(image_dir, tmp_path):
         a = np.asarray(Image.open(out_p / f"big_{suffix}.png"))
         b = np.asarray(Image.open(out_s / f"big_{suffix}.png"))
         np.testing.assert_array_equal(a, b, err_msg=suffix)
+
+
+def test_predict_spatial_shard_directory(image_dir, tmp_path):
+    """Regression (round-3 review): --spatial_shard over a DIRECTORY must not
+    nest the spatial mesh inside the shard_map batch driver. The CLI now
+    disables batch-sharding when spatial is active; the run must complete."""
+    from retinex_tpu.cli import run
+    from retinex_tpu.config import Config
+
+    rng = np.random.default_rng(8)
+    Image.fromarray(rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)).save(
+        image_dir / "big2.png"
+    )
+    cfg = Config(
+        mode="predict",
+        checkpoint="",
+        packed_inference=False,
+        spatial_shard=True,
+        input_path=str(image_dir),
+        output_dir=str(tmp_path / "out"),
+        no_comparison=True,
+    )
+    # monkeypatch-free: _build_apply_fn allows untrained weights only when
+    # require_checkpoint=False, so drive predict_batch directly like run() does.
+    from retinex_tpu.cli import _build_apply_fn
+
+    apply_fn = _build_apply_fn(cfg, require_checkpoint=False)
+    timings = predict_batch(
+        apply_fn, str(image_dir), str(tmp_path / "out"), mesh=None, save_comparison=False
+    )
+    assert len(timings) == len(os.listdir(image_dir))
