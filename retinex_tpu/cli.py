@@ -184,6 +184,8 @@ def run(config: Config):
                 mesh=mesh,
                 clip_limit=config.clahe_clip_limit,
                 tiles=config.clahe_tiles,
+                enable_multi_scale=config.multi_scale,
+                enable_content_aware=config.content_aware,
             )
         raise FileNotFoundError(f"Input path does not exist: {config.input_path}")
 

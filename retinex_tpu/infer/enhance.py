@@ -100,9 +100,12 @@ class MultiScaleEnhancer:
         feats = extract_multi_scale_features(x)
         enhanced, _refl, illu = apply_fn(x)
         weights = (0.5, 0.3, 0.2)
-        adjustment = 1.0
+        # PER-IMAGE means (reference semantics, enhancers/multi_scale.py:87-98,
+        # which only ever sees batch 1): a whole-batch jnp.mean would couple
+        # images in the batched driver.
+        adjustment = jnp.ones((x.shape[0], 1, 1, 1), x.dtype)
         for w, f in zip(weights, feats):
-            adjustment = adjustment + w * jnp.mean(f) * 0.1
+            adjustment = adjustment + w * jnp.mean(f, axis=(1, 2, 3), keepdims=True) * 0.1
         out = jnp.clip(enhanced * adjustment, 0.0, 1.0)
         return (out[0], illu[0]) if squeeze else (out, illu)
 
@@ -212,13 +215,16 @@ def enhance_batch_images(
     mesh=None,
     clip_limit: float = 2.0,
     tiles: int = 8,
+    enable_multi_scale: bool = False,
+    enable_content_aware: bool = False,
 ):
     """Batch enhance over a directory, N frames per device dispatch.
 
     Unlike the reference's one-image-at-a-time loop
     (enhancers/simple_enhance.py:202-250 — which also skips multi-scale/
-    content-aware in batch mode, :81), files are bucketed by letterboxed
-    canvas shape (infer/batch_driver.py) and fed to the batched NHWC pipeline
+    content-aware in batch mode, :81; here they batch like every other
+    pipeline), files are bucketed by letterboxed canvas shape
+    (infer/batch_driver.py) and fed to the batched NHWC pipeline
     `batch_size` at a time: C++ threaded decode -> one jitted dispatch per
     chunk -> threaded PNG encode. When `mesh` is given each chunk is sharded
     across its data axis (shard_map — byte-identical outputs, ~mesh-size
@@ -289,7 +295,15 @@ def enhance_batch_images(
                 return quant(
                     _classical_enhance(x, mode_key, use_pallas, clip_limit, tiles)
                 ), None
-            out, illu = adjuster.apply_adaptive_enhancement(apply_fn, x, use_pallas=use_pallas)
+            # Net modes: route exactly like enhance_single_image (the
+            # content-aware/multi-scale enhancers are batch-aware with
+            # per-image statistics).
+            if enable_content_aware:
+                out, illu = ContentAwareEnhancer().apply_content_aware_enhancement(apply_fn, x)
+            elif enable_multi_scale:
+                out, illu = MultiScaleEnhancer().apply_multi_scale_enhancement(apply_fn, x)
+            else:
+                out, illu = adjuster.apply_adaptive_enhancement(apply_fn, x, use_pallas=use_pallas)
             return quant(out), quant(illu)
 
         if mesh is not None:

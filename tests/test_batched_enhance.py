@@ -175,3 +175,46 @@ def test_sharded_clahe_luma_matches_single_device(image_dir, tmp_path):
         a = np.asarray(Image.open(out_1 / f))
         b = np.asarray(Image.open(out_8 / f))
         np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+@pytest.mark.parametrize("mode_kwargs", [
+    {"enable_multi_scale": True},
+    {"enable_content_aware": True},
+])
+def test_batched_multiscale_contentaware_match_single(image_dir, tmp_path, mode_kwargs):
+    """Round 3: multi-scale and content-aware route through the batched
+    driver too (the reference skips them in batch mode,
+    enhancers/simple_enhance.py:81) with PER-IMAGE statistics — outputs match
+    the single-image path within +-1/255 on a sub-percent pixel fraction
+    (these pipelines are float-valued, so XLA fusion differences between the
+    batch-4 and batch-1 graphs can flip the uint8 floor at exact-boundary
+    values; the CLAHE paths are u8-grid-exact and assert equality)."""
+    import jax
+    import jax.numpy as jnp
+
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+
+    model = MultiScaleUPRetinex(use_preact=False, use_aspp=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def apply_fn(batch):
+        return model.apply(variables, batch, train=False)
+
+    out_b = tmp_path / "batched"
+    out_s = tmp_path / "single"
+    timings = enhance_batch_images(
+        apply_fn, str(image_dir), str(out_b), batch_size=4, **mode_kwargs
+    )
+    assert len(timings) == 5
+    for fname in ("tall_0.png", "wide_1.png"):
+        enhance_single_image(
+            apply_fn, str(image_dir / fname), str(out_s), **mode_kwargs
+        )
+        name = os.path.splitext(fname)[0]
+        for suffix in ("enhanced", "illumination"):
+            a = np.asarray(Image.open(out_b / f"{name}_{suffix}.png")).astype(int)
+            b = np.asarray(Image.open(out_s / f"{name}_{suffix}.png")).astype(int)
+            d = np.abs(a - b)
+            assert d.max() <= 1, f"{name}_{suffix}: max diff {d.max()}"
+            frac = (d > 0).mean()
+            assert frac < 0.005, f"{name}_{suffix}: {frac:.2%} pixels differ"
