@@ -108,6 +108,7 @@ def run(config: Config):
             (config.adaptive_weights, "adaptive (DWA) loss weights"),
             (config.use_preact, "pre-activation residual blocks"),
             (config.use_aspp, "ASPP module"),
+            (config.remat, "rematerialized blocks (activation-memory saver)"),
             (config.advanced_augment, "advanced augmentation"),
         ]:
             if flag:

@@ -108,6 +108,13 @@ class Config:
     # full-graph TPU A/B lands (bench.py measures both; repo rule: no default
     # flips without an in-graph measurement — BENCH_NOTES.md).
     packed_train: bool = False
+    # Rematerialized training (jax.checkpoint via nn.remat on the IE-net
+    # blocks and scale towers): recompute block activations in the backward
+    # pass instead of storing them — trades ~1/3 more FLOPs for a large HBM
+    # cut, enabling bigger batches / image sizes. Losses, gradients, and BN
+    # stats match the standard step to float-reassociation precision
+    # (tests/test_remat.py).
+    remat: bool = False
     # Spatial (H-axis) sharding for net predict (parallel/spatial.py): split a
     # single huge frame across all mesh devices; GSPMD inserts the conv halo
     # exchanges. Useful at batch 1 where data parallelism idles N-1 chips.

@@ -39,12 +39,22 @@ class ResidualIENet(nn.Module):
     use_preact: bool = False
     use_aspp: bool = False
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         # setup-style (not @nn.compact) so the packed-inference path
         # (models/packed_inference.py) can run individual stages; the names
         # keep the param tree identical to the original compact layout.
         block = PreActResBlock if self.use_preact else ResBlock
+        up = UpBlock
+        if self.remat:
+            # Rematerialized blocks: activations inside each block are
+            # recomputed in the backward pass instead of stored — the
+            # standard TPU HBM-for-FLOPs trade for bigger batches/images.
+            # Matches the standard step to float-reassociation precision
+            # (tests/test_remat.py); train arg is static (position 2 counting self).
+            block = nn.remat(block, static_argnums=(2,))
+            up = nn.remat(UpBlock, static_argnums=(2,))
         self.input_layer = nn.Conv(32, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype)
         self.enc1 = block(64, stride=2, dtype=self.dtype)
         self.enc2 = block(128, stride=2, dtype=self.dtype)
@@ -53,9 +63,9 @@ class ResidualIENet(nn.Module):
         if self.use_aspp:
             self.aspp = ASPPModule(256, dtype=self.dtype)
         self.bottleneck2 = block(256, dtype=self.dtype)
-        self.dec3 = UpBlock(128, dtype=self.dtype)
-        self.dec2 = UpBlock(64, dtype=self.dtype)
-        self.dec1 = UpBlock(32, dtype=self.dtype)
+        self.dec3 = up(128, dtype=self.dtype)
+        self.dec2 = up(64, dtype=self.dtype)
+        self.dec1 = up(32, dtype=self.dtype)
         self.residual_conv = nn.Conv(32, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype)
         self.residual_out = nn.Conv(1, (1, 1), dtype=self.dtype)
 
@@ -121,12 +131,16 @@ class MultiScaleUPRetinex(nn.Module):
     use_aspp: bool = True
     dtype: jnp.dtype = jnp.float32
     epsilon: float = 1e-6
+    remat: bool = False  # rematerialize IE-net blocks + scale towers in training
 
     def setup(self):
-        self.ie_net = ResidualIENet(self.use_preact, self.use_aspp, dtype=self.dtype)
-        self.scale1 = ScaleTower(pool=1, dtype=self.dtype)
-        self.scale2 = ScaleTower(pool=2, dtype=self.dtype)
-        self.scale3 = ScaleTower(pool=4, dtype=self.dtype)
+        self.ie_net = ResidualIENet(
+            self.use_preact, self.use_aspp, dtype=self.dtype, remat=self.remat
+        )
+        tower = nn.remat(ScaleTower) if self.remat else ScaleTower
+        self.scale1 = tower(pool=1, dtype=self.dtype)
+        self.scale2 = tower(pool=2, dtype=self.dtype)
+        self.scale3 = tower(pool=4, dtype=self.dtype)
         self.fusion = nn.Conv(32, (1, 1), dtype=self.dtype)
         self.output_layer = nn.Conv(3, (1, 1), dtype=self.dtype)
 

@@ -81,7 +81,10 @@ def train(config: Config) -> dict:
     print(f"Training on {n_dev} device(s): {mesh}")
 
     model = MultiScaleUPRetinex(
-        use_preact=config.use_preact, use_aspp=config.use_aspp, dtype=config.compute_dtype
+        use_preact=config.use_preact,
+        use_aspp=config.use_aspp,
+        dtype=config.compute_dtype,
+        remat=config.remat,
     )
     criterion = build_criterion(config)
 
