@@ -86,5 +86,20 @@ def load_params_for_inference(path: str) -> dict[str, Any]:
             "retinex_tpu.models.convert.load_reference_checkpoint(path, use_preact, use_aspp)"
         )
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path))
+    try:
+        restored = ckptr.restore(os.path.abspath(path))
+    except ValueError:
+        # Orbax refuses topology changes when restoring without a target
+        # (e.g. trained on an 8-device mesh, serving on one chip). Inference
+        # wants plain replicated host arrays — restore each leaf as numpy,
+        # which is topology-agnostic.
+        with ocp.PyTreeCheckpointer() as tree_ckptr:
+            meta = tree_ckptr.metadata(os.path.abspath(path)).item_metadata
+            tree = meta.tree if hasattr(meta, "tree") else meta
+            restored = tree_ckptr.restore(
+                os.path.abspath(path),
+                restore_args=jax.tree.map(
+                    lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+                ),
+            )
     return {"params": restored["params"], "batch_stats": restored["batch_stats"]}

@@ -87,3 +87,31 @@ def test_reference_pth_import(reference_path, tmp_path):
     x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 3), dtype=np.float32))
     enh, refl, illu = model.apply(variables, x, train=False)
     assert np.isfinite(np.asarray(enh)).all()
+
+
+def test_inference_restore_topology_fallback(tmp_path, monkeypatch):
+    """load_params_for_inference must survive an Orbax topology refusal
+    (checkpoint trained on an N-device mesh, restored on a different device
+    count — e.g. serving on one chip): the numpy-restore fallback returns the
+    same params/batch_stats."""
+    import orbax.checkpoint as ocp
+
+    from retinex_tpu.train.checkpoint import load_params_for_inference
+
+    model, state, step = _make_state_and_step()
+    batch = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3), dtype=np.float32))
+    state, _ = step(state, batch)
+    save_checkpoint(state, str(tmp_path), epoch=0, best_loss=1.0, is_best=True)
+
+    direct = load_params_for_inference(str(tmp_path / "best"))
+
+    def refuse(self, *a, **k):
+        raise ValueError("The available devices are different (simulated)")
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "restore", refuse)
+    fallback = load_params_for_inference(str(tmp_path / "best"))
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(direct), jax.tree_util.tree_leaves(fallback)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

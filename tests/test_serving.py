@@ -1,0 +1,43 @@
+"""Serving export (infer/serving.py): StableHLO artifact round trip, symbolic
+batch, byte parity with the live pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from retinex_tpu.infer.serving import export_enhancer, load_enhancer, make_serving_fn
+from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = MultiScaleUPRetinex(use_preact=False, use_aspp=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    return model, variables
+
+
+def test_export_roundtrip_file_and_symbolic_batch(model_and_vars, tmp_path):
+    model, variables = model_and_vars
+    path = tmp_path / "enhancer_64x96.shlo"
+    blob = export_enhancer(model, variables, height=64, width=96, path=str(path))
+    assert path.read_bytes() == blob
+
+    served = load_enhancer(str(path))
+    live = jax.jit(make_serving_fn(model, variables))
+
+    rng = np.random.default_rng(1)
+    for batch in (1, 3):  # one artifact serves any batch size
+        x = rng.integers(0, 256, (batch, 64, 96, 3), dtype=np.uint8)
+        enh_s, illu_s = served(x)
+        enh_l, illu_l = live(x)
+        np.testing.assert_array_equal(np.asarray(enh_s), np.asarray(enh_l))
+        np.testing.assert_array_equal(np.asarray(illu_s), np.asarray(illu_l))
+
+
+def test_export_rejects_wrong_canvas(model_and_vars):
+    model, variables = model_and_vars
+    served = load_enhancer(export_enhancer(model, variables, height=64, width=96))
+    bad = np.zeros((1, 32, 96, 3), np.uint8)
+    with pytest.raises(Exception):
+        served(bad)
