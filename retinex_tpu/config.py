@@ -108,6 +108,12 @@ class Config:
     # full-graph TPU A/B lands (bench.py measures both; repo rule: no default
     # flips without an in-graph measurement — BENCH_NOTES.md).
     packed_train: bool = False
+    # Gradient accumulation (optax.MultiSteps): average gradients across N
+    # micro-batches and apply the optimizer every N-th — effective batch =
+    # batch_size * N without the HBM. Clipping sees the mean gradient; BN
+    # stats update per micro-batch (standard semantics). Keep the same value
+    # when resuming (it changes the optimizer-state pytree).
+    grad_accum: int = 1
     # Rematerialized training (jax.checkpoint via nn.remat on the IE-net
     # blocks and scale towers): recompute block activations in the backward
     # pass instead of storing them — trades ~1/3 more FLOPs for a large HBM

@@ -32,17 +32,30 @@ class RetinexTrainState(train_state.TrainState):
 
 
 def make_optimizer(
-    lr_schedule: Callable, weight_decay: float = 1e-5, max_grad_norm: float = 1.0
+    lr_schedule: Callable,
+    weight_decay: float = 1e-5,
+    max_grad_norm: float = 1.0,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """clip-by-global-norm -> L2 weight decay -> Adam, matching the torch order
     (clip_grad_norm_ then Adam(weight_decay=...), which folds wd*p into the
-    already-clipped gradient before the moment updates)."""
-    return optax.chain(
+    already-clipped gradient before the moment updates).
+
+    grad_accum > 1 wraps the chain in optax.MultiSteps: micro-batch gradients
+    average across k train-step calls and the whole chain (clipping included,
+    so the clip sees the mean gradient like a real big batch would) applies on
+    every k-th. BatchNorm stats still update per micro-batch — the standard
+    grad-accumulation semantics everywhere (torch included). Changing
+    grad_accum changes the optimizer-state pytree, so resumes must keep it."""
+    tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(),
         optax.scale_by_learning_rate(lr_schedule),
     )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def create_train_state(
@@ -52,6 +65,7 @@ def create_train_state(
     lr_schedule: Callable,
     weight_decay: float = 1e-5,
     max_grad_norm: float = 1.0,
+    grad_accum: int = 1,
 ) -> RetinexTrainState:
     params_rng, dropout_rng = jax.random.split(rng)
     variables = model.init(
@@ -59,7 +73,7 @@ def create_train_state(
         jnp.zeros(input_shape, jnp.float32),
         train=False,
     )
-    tx = make_optimizer(lr_schedule, weight_decay, max_grad_norm)
+    tx = make_optimizer(lr_schedule, weight_decay, max_grad_norm, grad_accum)
     return RetinexTrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -122,8 +122,12 @@ def train(config: Config) -> dict:
     )
 
     # The reference steps its scheduler per *epoch*; express that as a
-    # per-step optax schedule.
-    lr_schedule = lambda step: epoch_schedule(step // steps_per_epoch)  # noqa: E731
+    # per-step optax schedule. Under grad accumulation the inner chain's
+    # step counter advances once per APPLIED update (every grad_accum
+    # micro-batches), so scale the divisor accordingly.
+    accum = max(config.grad_accum, 1)
+    applied_per_epoch = max(steps_per_epoch // accum, 1)
+    lr_schedule = lambda step: epoch_schedule(step // applied_per_epoch)  # noqa: E731
 
     rng = jax.random.PRNGKey(config.seed)
     state = create_train_state(
@@ -132,7 +136,13 @@ def train(config: Config) -> dict:
         (config.batch_size, config.image_size, config.image_size, 3),
         lr_schedule,
         weight_decay=config.weight_decay,
+        grad_accum=accum,
     )
+    if accum > 1:
+        print(
+            f"Gradient accumulation x{accum}: effective batch "
+            f"{config.batch_size * accum} (optimizer applies every {accum} batches)"
+        )
     print(f"Model parameters: {count_parameters(state.params):,}")
 
     start_epoch, best_loss = 0, float("inf")
