@@ -70,6 +70,26 @@ def build_criterion(config: Config) -> TotalLoss:
 
 def train(config: Config) -> dict:
     """Run training; returns {'best_loss', 'epochs_run', 'save_dir'}."""
+    # Preemption awareness (SURVEY §5: the reference has none): SIGTERM/SIGINT
+    # sets a flag — installed FIRST so a signal during setup/compile is also
+    # caught — the batch loop finishes its current step, a `latest` checkpoint
+    # is written, and train() returns cleanly for --resume. Handlers restore
+    # on exit (signal handling only works in the main thread; skip elsewhere).
+    import signal
+
+    preempted = {"flag": False, "signum": None}
+
+    def _on_preempt(signum, frame):
+        preempted["flag"] = True
+        preempted["signum"] = signum
+
+    old_handlers = {}
+    try:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            old_handlers[sig] = signal.signal(sig, _on_preempt)
+    except ValueError:
+        old_handlers = {}
+
     mesh = create_mesh(config.n_devices)
     n_dev = mesh.devices.size
     # Multi-host: this process loads/feeds only its 1/process_count share of
@@ -206,6 +226,14 @@ def train(config: Config) -> dict:
             state, loss_dict = train_step(state, batch)
             num_batches += 1
 
+            if preempted["flag"]:
+                bar.close()
+                print(
+                    f"Signal {preempted['signum']} received: checkpointing and "
+                    f"exiting (resume with --resume {config.save_dir}/latest)"
+                )
+                break
+
             # Fetch scalars only at the logging interval (one device sync).
             if batch_idx % config.log_every == 0:
                 fetched = {k: float(v) for k, v in loss_dict.items()}
@@ -218,6 +246,13 @@ def train(config: Config) -> dict:
                 sum_keys = [k for k in LOG_KEYS if k in loss_dict]
             stacked = jnp.stack([loss_dict[k] for k in sum_keys])
             epoch_sum = stacked if epoch_sum is None else epoch_sum + stacked
+
+        if preempted["flag"]:
+            if proc_idx == 0:
+                save_checkpoint(state, config.save_dir, epoch, best_loss, is_best=False)
+                print(f"Preemption checkpoint written: {config.save_dir}/latest")
+            epochs_run = epoch  # epoch incomplete
+            break
 
         sums_np = np.asarray(epoch_sum) if epoch_sum is not None else np.zeros(0)
         avg_losses = {
@@ -267,6 +302,9 @@ def train(config: Config) -> dict:
 
     if config.profile_dir:
         jax.profiler.stop_trace()
+
+    for sig, handler in old_handlers.items():
+        signal.signal(sig, handler)
 
     logger.close()
     if proc_idx == 0:

@@ -1,0 +1,86 @@
+"""Preemption-aware training: SIGTERM mid-run checkpoints `latest` and exits
+cleanly; --resume continues from it (SURVEY §5 — the reference has no
+preemption handling)."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def train_dir(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)).save(
+            d / f"im{i}.png"
+        )
+    return d
+
+
+def _train_cmd(train_dir, save_dir, resume=None):
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import sys\n"
+        f"sys.argv=['main.py','--mode','train','--train_dir',{str(train_dir)!r},"
+        f"'--save_dir',{str(save_dir)!r},'--num_epochs','500','--batch_size','2',"
+        "'--image_size','32','--no-use_perceptual_loss','--no-progress_bar'"
+        + (f",'--resume',{resume!r}" if resume else "")
+        + "]\n"
+        "from retinex_tpu.cli import main; main()\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env.pop("XLA_FLAGS", None)  # single device is fine here
+    return [sys.executable, "-c", code], env
+
+
+def test_sigterm_checkpoints_and_exits(train_dir, tmp_path):
+    save_dir = tmp_path / "ckpt"
+    cmd, env = _train_cmd(train_dir, save_dir)
+    proc = subprocess.Popen(
+        cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
+    )
+    # Wait for the first epoch to complete (its checkpoint proves the loop is
+    # past compilation), then preempt.
+    deadline = time.time() + 600
+    saw_epoch = False
+    lines = []
+    for line in proc.stdout:
+        lines.append(line)
+        if line.startswith("Epoch 0:"):
+            saw_epoch = True
+            break
+        if time.time() > deadline:
+            proc.kill()
+            pytest.fail("training never reached epoch 0:\n" + "".join(lines))
+    assert saw_epoch
+    proc.send_signal(signal.SIGTERM)
+    out = proc.stdout.read()
+    ret = proc.wait(timeout=300)
+    assert ret == 0, f"exit {ret}\n{''.join(lines)}{out}"
+    assert "checkpointing and exiting" in out or "Preemption checkpoint" in out, out
+    assert (save_dir / "latest").exists()
+
+    # Resume from the preemption checkpoint: must start and save again.
+    cmd2, env2 = _train_cmd(train_dir, save_dir, resume=str(save_dir / "latest"))
+    proc2 = subprocess.Popen(
+        cmd2, env=env2, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
+    )
+    lines2 = []
+    for line in proc2.stdout:
+        lines2.append(line)
+        if line.startswith("Resumed from"):
+            break
+    proc2.send_signal(signal.SIGTERM)
+    out2 = proc2.stdout.read()
+    ret2 = proc2.wait(timeout=300)
+    assert ret2 == 0, f"exit {ret2}\n{''.join(lines2)}{out2}"
+    assert any(line.startswith("Resumed from") for line in lines2), "".join(lines2)
