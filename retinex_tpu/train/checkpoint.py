@@ -36,17 +36,48 @@ def _state_to_pytree(state, epoch: int, best_loss: float) -> dict:
     }
 
 
-def save_checkpoint(state, save_dir: str, epoch: int, best_loss: float, is_best: bool):
+# One long-lived checkpointer (StandardCheckpointer commits in a background
+# thread; construction is not free, so reuse it across epochs).
+_CKPTR: ocp.StandardCheckpointer | None = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_checkpoints():
+    """Block until in-flight saves commit (no-op unless a wait=False save is
+    pending; load paths call this defensively)."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def save_checkpoint(
+    state, save_dir: str, epoch: int, best_loss: float, is_best: bool, wait: bool = True
+):
     """Save `latest` always and `best` when improved (reference semantics,
-    trainers/train.py:134-162)."""
+    trainers/train.py:134-162).
+
+    Synchronous by default, deliberately: orbax `force=True` deletes the
+    existing directory at save() time and commits the replacement later, so
+    an async save opens a window where a hard crash loses `latest` entirely —
+    a bad trade for overlapping a ~50 MB write. wait=False is available for
+    models big enough to flip that trade; pair it with wait_for_checkpoints()
+    before exit."""
     os.makedirs(save_dir, exist_ok=True)
     tree = _state_to_pytree(state, epoch, best_loss)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # drain any earlier wait=False save
     latest = os.path.join(os.path.abspath(save_dir), "latest")
     ckptr.save(latest, tree, force=True)
     if is_best:
+        ckptr.wait_until_finished()
         ckptr.save(os.path.join(os.path.abspath(save_dir), "best"), tree, force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
 
 
 def load_checkpoint(state, path: str):
@@ -55,6 +86,7 @@ def load_checkpoint(state, path: str):
     Returns (state, start_epoch, best_loss); start_epoch = saved epoch + 1
     (reference: trainers/train.py:183).
     """
+    wait_for_checkpoints()  # the checkpoint may have been written async just now
     ckptr = ocp.StandardCheckpointer()
     template = _state_to_pytree(state, 0, float("inf"))
     restored = ckptr.restore(os.path.abspath(path), template)
@@ -85,6 +117,7 @@ def load_params_for_inference(path: str) -> dict[str, Any]:
             "For .pth reference checkpoints use "
             "retinex_tpu.models.convert.load_reference_checkpoint(path, use_preact, use_aspp)"
         )
+    wait_for_checkpoints()
     ckptr = ocp.StandardCheckpointer()
     try:
         restored = ckptr.restore(os.path.abspath(path))

@@ -29,7 +29,7 @@ from retinex_tpu.losses.total import LossConfig, TotalLoss
 from retinex_tpu.models.retinex_net import MultiScaleUPRetinex, count_parameters
 from retinex_tpu.models.vgg import VGG19Features, load_npz
 from retinex_tpu.parallel.mesh import create_mesh, pad_to_multiple, shard_batch
-from retinex_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from retinex_tpu.train.checkpoint import load_checkpoint, save_checkpoint, wait_for_checkpoints
 from retinex_tpu.train.schedules import cosine_warm_restarts, step_decay
 from retinex_tpu.train.train_state import create_train_state, make_train_step
 from retinex_tpu.utils.logging import MetricLogger, save_loss_curves, save_results_to_csv
@@ -249,7 +249,9 @@ def train(config: Config) -> dict:
 
         if preempted["flag"]:
             if proc_idx == 0:
-                save_checkpoint(state, config.save_dir, epoch, best_loss, is_best=False)
+                save_checkpoint(
+                    state, config.save_dir, epoch, best_loss, is_best=False, wait=True
+                )
                 print(f"Preemption checkpoint written: {config.save_dir}/latest")
             epochs_run = epoch  # epoch incomplete
             break
@@ -307,6 +309,7 @@ def train(config: Config) -> dict:
         signal.signal(sig, handler)
 
     logger.close()
+    wait_for_checkpoints()  # commit any in-flight async save before returning
     if proc_idx == 0:
         save_loss_curves(loss_history, config.save_dir)
         save_results_to_csv(loss_history, config.save_dir)
