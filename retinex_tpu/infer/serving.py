@@ -22,18 +22,34 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 
-def make_serving_fn(model, variables):
+def make_serving_fn(model, variables, pipeline: str = "enhance"):
     """The uint8 NHWC serving step: batch_u8 -> (enhanced_u8, illu_u8).
 
-    Matches the batched driver's device function (u8 transfers both ways;
-    floor quantization = utils.viz.save_image's truncation, so served bytes
-    equal the offline pipeline's PNGs).
+    pipeline="enhance" (default) applies the full net-mode enhance path —
+    forward + adaptive Lab-CLAHE post-processing — exactly like the batched
+    driver's device function (infer/enhance.py net mode), so served bytes
+    equal the offline `--mode enhance` PNGs (u8 both ways; floor quantization
+    = utils.viz.save_image's truncation). The CLAHE runs on the portable XLA
+    path (no Pallas custom calls in the artifact). pipeline="predict" serves
+    the raw model outputs, matching `--mode predict`.
     """
+    if pipeline not in ("enhance", "predict"):
+        raise ValueError(f"pipeline must be 'enhance' or 'predict', got {pipeline!r}")
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)
 
     def fn(batch_u8):
         x = batch_u8.astype(jnp.float32) / 255.0
-        enhanced, _refl, illu = model.apply(variables, x, train=False)
         q = lambda v: jnp.clip(jnp.floor(v * 255.0), 0, 255).astype(jnp.uint8)  # noqa: E731
+        if pipeline == "enhance":
+            from retinex_tpu.infer.adaptive_params import AdaptiveParameterAdjuster
+
+            out, illu = AdaptiveParameterAdjuster().apply_adaptive_enhancement(
+                apply_fn, x, use_pallas=False
+            )
+            return q(out), q(illu)
+        enhanced, _refl, illu = apply_fn(x)
         return q(enhanced), q(illu)
 
     return fn
@@ -46,12 +62,13 @@ def export_enhancer(
     width: int,
     path: str | None = None,
     platforms: tuple[str, ...] | None = None,
+    pipeline: str = "enhance",
 ) -> bytes:
     """Serialize the serving step for a (height, width) canvas; symbolic batch.
 
     Returns the serialized bytes (also written to `path` when given).
     """
-    fn = make_serving_fn(model, variables)
+    fn = make_serving_fn(model, variables, pipeline=pipeline)
     (b,) = jax_export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((b, height, width, 3), jnp.uint8)
     exp = jax_export.export(jax.jit(fn), platforms=platforms)(spec)

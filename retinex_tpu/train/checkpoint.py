@@ -87,7 +87,7 @@ def load_checkpoint(state, path: str):
     (reference: trainers/train.py:183).
     """
     wait_for_checkpoints()  # the checkpoint may have been written async just now
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     template = _state_to_pytree(state, 0, float("inf"))
     restored = ckptr.restore(os.path.abspath(path), template)
     new_state = state.replace(
@@ -118,7 +118,7 @@ def load_params_for_inference(path: str) -> dict[str, Any]:
             "retinex_tpu.models.convert.load_reference_checkpoint(path, use_preact, use_aspp)"
         )
     wait_for_checkpoints()
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     try:
         restored = ckptr.restore(os.path.abspath(path))
     except ValueError:

@@ -69,27 +69,47 @@ def build_criterion(config: Config) -> TotalLoss:
 
 
 def train(config: Config) -> dict:
-    """Run training; returns {'best_loss', 'epochs_run', 'save_dir'}."""
-    # Preemption awareness (SURVEY §5: the reference has none): SIGTERM/SIGINT
-    # sets a flag — installed FIRST so a signal during setup/compile is also
-    # caught — the batch loop finishes its current step, a `latest` checkpoint
-    # is written, and train() returns cleanly for --resume. Handlers restore
-    # on exit (signal handling only works in the main thread; skip elsewhere).
+    """Run training; returns {'best_loss', 'epochs_run', 'save_dir'}.
+
+    Preemption awareness (SURVEY §5: the reference has none): SIGTERM/SIGINT
+    sets a flag — installed before setup so a signal during compile is also
+    caught — the batch loop finishes its current step, a `latest` checkpoint
+    is written, and train() returns cleanly for --resume. A SECOND signal
+    escalates (restores default handlers and raises KeyboardInterrupt), so a
+    hang before the loop stays killable with Ctrl+C Ctrl+C. Handlers restore
+    on every exit path (signal handling only works in the main thread; other
+    threads skip installation).
+    """
     import signal
 
     preempted = {"flag": False, "signum": None}
+    old_handlers = {}
+
+    def _restore_handlers():
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
+        old_handlers.clear()
 
     def _on_preempt(signum, frame):
+        if preempted["flag"]:
+            _restore_handlers()
+            raise KeyboardInterrupt
         preempted["flag"] = True
         preempted["signum"] = signum
 
-    old_handlers = {}
     try:
         for sig in (signal.SIGTERM, signal.SIGINT):
             old_handlers[sig] = signal.signal(sig, _on_preempt)
     except ValueError:
         old_handlers = {}
 
+    try:
+        return _train_impl(config, preempted)
+    finally:
+        _restore_handlers()
+
+
+def _train_impl(config: Config, preempted: dict) -> dict:
     mesh = create_mesh(config.n_devices)
     n_dev = mesh.devices.size
     # Multi-host: this process loads/feeds only its 1/process_count share of
@@ -144,10 +164,11 @@ def train(config: Config) -> dict:
     # The reference steps its scheduler per *epoch*; express that as a
     # per-step optax schedule. Under grad accumulation the inner chain's
     # step counter advances once per APPLIED update (every grad_accum
-    # micro-batches), so scale the divisor accordingly.
+    # micro-batches): applied step s corresponds to micro-batch s*accum, so
+    # epoch = (s * accum) // steps_per_epoch — exact for any accum, no drift
+    # when steps_per_epoch isn't divisible by accum.
     accum = max(config.grad_accum, 1)
-    applied_per_epoch = max(steps_per_epoch // accum, 1)
-    lr_schedule = lambda step: epoch_schedule(step // applied_per_epoch)  # noqa: E731
+    lr_schedule = lambda step: epoch_schedule((step * accum) // steps_per_epoch)  # noqa: E731
 
     rng = jax.random.PRNGKey(config.seed)
     state = create_train_state(
@@ -210,8 +231,9 @@ def train(config: Config) -> dict:
         # Live progress bar with loss postfix (reference: trainers/train.py:61,
         # :110-116). The postfix refreshes at the logging interval so the bar
         # doesn't force a device sync every batch.
+        epoch_iter = iter(loader)
         bar = tqdm(
-            enumerate(loader),
+            enumerate(epoch_iter),
             total=steps_per_epoch,
             desc=f"Epoch {epoch}/{config.num_epochs - 1}",
             leave=False,
@@ -226,8 +248,27 @@ def train(config: Config) -> dict:
             state, loss_dict = train_step(state, batch)
             num_batches += 1
 
-            if preempted["flag"]:
+            stop = preempted["flag"]
+            if proc_count > 1:
+                # Multi-host: a signal may reach only some hosts. Every host
+                # contributes its local flag to a tiny allgather EVERY batch
+                # so all hosts take the break (and the collective save) at
+                # the same step — a lone host breaking out would deadlock the
+                # others in the next gradient all-reduce.
+                from jax.experimental import multihost_utils
+
+                stop = bool(
+                    multihost_utils.process_allgather(np.asarray(stop)).any()
+                )
+            if stop:
+                preempted["flag"] = True
                 bar.close()
+                # Early break violates the prefetch iterator's contract
+                # unless it is closed (data/dataset.py: the producer thread
+                # blocks on the bounded queue otherwise).
+                close = getattr(epoch_iter, "close", None)
+                if close is not None:
+                    close()
                 print(
                     f"Signal {preempted['signum']} received: checkpointing and "
                     f"exiting (resume with --resume {config.save_dir}/latest)"
@@ -249,8 +290,11 @@ def train(config: Config) -> dict:
 
         if preempted["flag"]:
             if proc_idx == 0:
+                # Save epoch-1: resume starts at saved+1, so the interrupted
+                # epoch RE-RUNS rather than being silently skipped (its
+                # remaining batches were never trained).
                 save_checkpoint(
-                    state, config.save_dir, epoch, best_loss, is_best=False, wait=True
+                    state, config.save_dir, epoch - 1, best_loss, is_best=False, wait=True
                 )
                 print(f"Preemption checkpoint written: {config.save_dir}/latest")
             epochs_run = epoch  # epoch incomplete
@@ -304,9 +348,6 @@ def train(config: Config) -> dict:
 
     if config.profile_dir:
         jax.profiler.stop_trace()
-
-    for sig, handler in old_handlers.items():
-        signal.signal(sig, handler)
 
     logger.close()
     wait_for_checkpoints()  # commit any in-flight async save before returning

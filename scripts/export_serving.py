@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--use_preact", action="store_true")
     ap.add_argument("--use_aspp", action="store_true")
     ap.add_argument("--platform", default=None, help="e.g. tpu (default: exporting host)")
+    ap.add_argument(
+        "--pipeline", default="enhance", choices=("enhance", "predict"),
+        help="enhance = net + adaptive CLAHE (matches --mode enhance); "
+        "predict = raw model outputs (matches --mode predict)",
+    )
     args = ap.parse_args()
 
     from retinex_tpu.infer.serving import export_enhancer
@@ -46,10 +51,10 @@ def main():
     platforms = (args.platform,) if args.platform else None
     blob = export_enhancer(
         model, variables, height=args.height, width=args.width, path=args.out,
-        platforms=platforms,
+        platforms=platforms, pipeline=args.pipeline,
     )
     print(f"wrote {args.out}: {len(blob) / 1e6:.2f} MB "
-          f"(canvas {args.height}x{args.width}, symbolic batch)")
+          f"(canvas {args.height}x{args.width}, {args.pipeline} pipeline, symbolic batch)")
 
 
 if __name__ == "__main__":

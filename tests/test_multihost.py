@@ -122,3 +122,66 @@ def test_loader_sharding_disjoint_and_aligned(tmp_path):
     assert n0 == n1 == len(b0) == len(b1) == 2  # 11 imgs -> 5/shard -> 2 batches
     nfull, _ = epoch_ids((0, 1))
     assert nfull == 5
+
+
+_PREEMPT_WORKER = r"""
+import sys
+process_id = int(sys.argv[1]); coordinator = sys.argv[2]
+
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from retinex_tpu.config import Config
+from retinex_tpu.parallel.distributed import initialize_distributed
+
+config = Config(coordinator=coordinator, num_processes=2, process_id=process_id)
+assert initialize_distributed(config)
+
+# The trainer's preemption agreement (train/trainer.py): each batch, every
+# host allgathers its local flag and stops iff ANY host saw a signal. Here
+# only process 0 "receives the signal" at batch 3; both must break at the
+# SAME batch (a lone host breaking would deadlock the others' next
+# all-reduce).
+import numpy as np
+from jax.experimental import multihost_utils
+
+stopped_at = None
+for batch_idx in range(10):
+    local_flag = process_id == 0 and batch_idx == 3
+    stop = bool(multihost_utils.process_allgather(np.asarray(local_flag)).any())
+    if stop:
+        stopped_at = batch_idx
+        break
+assert stopped_at == 3, stopped_at
+print(f"OK process {process_id}: agreed stop at batch {stopped_at}")
+"""
+
+
+def test_two_process_preemption_agreement(tmp_path):
+    """All hosts take the preemption break at the same step even when the
+    signal reaches only one host (the trainer's per-batch flag allgather)."""
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    script = tmp_path / "preempt_worker.py"
+    script.write_text(_PREEMPT_WORKER)
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), coordinator],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd="/root/repo",
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"OK process {pid}: agreed stop at batch 3" in out

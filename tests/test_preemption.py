@@ -37,9 +37,42 @@ def _train_cmd(train_dir, save_dir, resume=None):
         "from retinex_tpu.cli import main; main()\n"
     )
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # PREPEND (never replace) PYTHONPATH — the axon plugin loads from it
+    # (repo CLAUDE.md environment rule).
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)  # single device is fine here
     return [sys.executable, "-c", code], env
+
+
+def _read_until(proc, predicate, timeout_s):
+    """Read subprocess stdout lines on a thread until predicate(line) or
+    timeout — a plain `for line in proc.stdout` would hang the suite if the
+    child goes silent without exiting."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue()
+
+    def pump():
+        for line in proc.stdout:
+            q.put(line)
+        q.put(None)
+
+    threading.Thread(target=pump, daemon=True).start()
+    lines = []
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            line = q.get(timeout=5)
+        except queue.Empty:
+            continue
+        if line is None:
+            return lines, False
+        lines.append(line)
+        if predicate(line):
+            return lines, True
+    return lines, False
 
 
 def test_sigterm_checkpoints_and_exits(train_dir, tmp_path):
@@ -50,20 +83,13 @@ def test_sigterm_checkpoints_and_exits(train_dir, tmp_path):
     )
     # Wait for the first epoch to complete (its checkpoint proves the loop is
     # past compilation), then preempt.
-    deadline = time.time() + 600
-    saw_epoch = False
-    lines = []
-    for line in proc.stdout:
-        lines.append(line)
-        if line.startswith("Epoch 0:"):
-            saw_epoch = True
-            break
-        if time.time() > deadline:
-            proc.kill()
-            pytest.fail("training never reached epoch 0:\n" + "".join(lines))
-    assert saw_epoch
+    lines, saw_epoch = _read_until(proc, lambda l: l.startswith("Epoch 0:"), 600)
+    if not saw_epoch:
+        proc.kill()
+        pytest.fail("training never reached epoch 0:\n" + "".join(lines))
     proc.send_signal(signal.SIGTERM)
-    out = proc.stdout.read()
+    more, _ = _read_until(proc, lambda l: False, 300)
+    out = "".join(more)
     ret = proc.wait(timeout=300)
     assert ret == 0, f"exit {ret}\n{''.join(lines)}{out}"
     assert "checkpointing and exiting" in out or "Preemption checkpoint" in out, out
@@ -74,13 +100,13 @@ def test_sigterm_checkpoints_and_exits(train_dir, tmp_path):
     proc2 = subprocess.Popen(
         cmd2, env=env2, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
     )
-    lines2 = []
-    for line in proc2.stdout:
-        lines2.append(line)
-        if line.startswith("Resumed from"):
-            break
+    lines2, saw_resume = _read_until(proc2, lambda l: l.startswith("Resumed from"), 600)
+    if not saw_resume:
+        proc2.kill()
+        pytest.fail("resume run never printed 'Resumed from':\n" + "".join(lines2))
     proc2.send_signal(signal.SIGTERM)
-    out2 = proc2.stdout.read()
+    more2, _ = _read_until(proc2, lambda l: False, 300)
+    out2 = "".join(more2)
     ret2 = proc2.wait(timeout=300)
     assert ret2 == 0, f"exit {ret2}\n{''.join(lines2)}{out2}"
     assert any(line.startswith("Resumed from") for line in lines2), "".join(lines2)

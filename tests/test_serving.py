@@ -41,3 +41,49 @@ def test_export_rejects_wrong_canvas(model_and_vars):
     bad = np.zeros((1, 32, 96, 3), np.uint8)
     with pytest.raises(Exception):
         served(bad)
+
+
+def test_enhance_artifact_matches_offline_enhance(model_and_vars, tmp_path):
+    """The default 'enhance' artifact applies the full adaptive-CLAHE
+    post-processing — served bytes equal the offline batched driver's
+    net-mode outputs (review finding: an export of the raw forward silently
+    diverged from what users validate with --mode enhance)."""
+    import os
+
+    from PIL import Image
+
+    from retinex_tpu.infer.enhance import enhance_batch_images
+
+    model, variables = model_and_vars
+
+    def apply_fn(batch):
+        return model.apply(variables, batch, train=False)
+
+    rng = np.random.default_rng(4)
+    d = tmp_path / "in"
+    d.mkdir()
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    Image.fromarray(img).save(d / "a.png")
+
+    out = tmp_path / "offline"
+    enhance_batch_images(apply_fn, str(d), str(out), batch_size=1)
+
+    served = load_enhancer(export_enhancer(model, variables, height=64, width=96))
+    enh_u8, _illu_u8 = served(img[None])
+    offline = np.asarray(Image.open(out / "a_enhanced.png"))
+    np.testing.assert_array_equal(np.asarray(enh_u8)[0], offline)
+
+
+def test_predict_artifact_serves_raw_outputs(model_and_vars):
+    model, variables = model_and_vars
+    served = load_enhancer(
+        export_enhancer(model, variables, height=64, width=96, pipeline="predict")
+    )
+    x = np.random.default_rng(5).integers(0, 256, (1, 64, 96, 3), dtype=np.uint8)
+    enh, illu = served(x)
+    want_enh, _refl, want_illu = model.apply(
+        variables, jnp.asarray(x, jnp.float32) / 255.0, train=False
+    )
+    q = lambda v: np.clip(np.floor(np.asarray(v) * 255.0), 0, 255).astype(np.uint8)  # noqa: E731
+    np.testing.assert_array_equal(np.asarray(enh), q(want_enh))
+    np.testing.assert_array_equal(np.asarray(illu), q(want_illu))
