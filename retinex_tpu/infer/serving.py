@@ -79,6 +79,35 @@ def export_enhancer(
     return blob
 
 
+def export_classical(
+    mode: str,
+    height: int,
+    width: int,
+    path: str | None = None,
+    platforms: tuple[str, ...] | None = None,
+    clip_limit: float = 2.0,
+    tiles: int = 8,
+) -> bytes:
+    """Serialize a no-net classical pipeline (ssr/msr/msrcr/clahe/clahe_luma)
+    as a serving artifact: batch_u8 -> enhanced_u8, symbolic batch, portable
+    XLA path (no Pallas custom calls)."""
+    from retinex_tpu.infer.enhance import _classical_enhance
+
+    def fn(batch_u8):
+        x = batch_u8.astype(jnp.float32) / 255.0
+        out = _classical_enhance(x, mode, use_pallas=False, clip_limit=clip_limit, tiles=tiles)
+        return jnp.clip(jnp.floor(out * 255.0), 0, 255).astype(jnp.uint8)
+
+    (b,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, height, width, 3), jnp.uint8)
+    exp = jax_export.export(jax.jit(fn), platforms=platforms)(spec)
+    blob = exp.serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
 def load_enhancer(path_or_bytes):
     """Reload an exported artifact; returns fn(batch_u8) -> (enhanced, illu).
 

@@ -87,3 +87,28 @@ def test_predict_artifact_serves_raw_outputs(model_and_vars):
     q = lambda v: np.clip(np.floor(np.asarray(v) * 255.0), 0, 255).astype(np.uint8)  # noqa: E731
     np.testing.assert_array_equal(np.asarray(enh), q(want_enh))
     np.testing.assert_array_equal(np.asarray(illu), q(want_illu))
+
+
+@pytest.mark.parametrize("mode", ["clahe", "msr"])
+def test_classical_artifact_matches_offline(mode, tmp_path):
+    """No-net classical pipelines export too; served bytes equal the offline
+    batched driver's outputs."""
+    import os
+
+    from PIL import Image
+
+    from retinex_tpu.infer.enhance import enhance_batch_images
+    from retinex_tpu.infer.serving import export_classical
+
+    rng = np.random.default_rng(6)
+    d = tmp_path / "in"
+    d.mkdir()
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    Image.fromarray(img).save(d / "a.png")
+    out = tmp_path / "offline"
+    enhance_batch_images(None, str(d), str(out), classical_mode=mode, batch_size=1)
+
+    served = load_enhancer(export_classical(mode, height=64, width=96))
+    enh = np.asarray(served(img[None]))[0]
+    offline = np.asarray(Image.open(out / "a_enhanced.png"))
+    np.testing.assert_array_equal(enh, offline)
