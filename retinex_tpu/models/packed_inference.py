@@ -139,19 +139,25 @@ def _pack_fam(fam):
     # fusion 1x1 commutes into each branch (pointwise-after-conv == conv
     # with transformed Cout); constants collect into one bias.
     wf = [jnp.asarray(p[0, 0], jnp.float32) for p in parts]
-    ka = jnp.asarray(pack_pointwise(fam["branch1"]["kernel"])[0, 0], jnp.float32) @ wf[0]
-    kb = (
-        jnp.asarray(pack_pointwise(fam["branch2_conv"]["kernel"])[0, 0], jnp.float32)
-        @ wf[1]
+    # precision=HIGHEST: these weight x weight folds run once at construction;
+    # default TPU matmul precision would bf16-truncate both operands, adding
+    # avoidable error on top of the bf16 conv compute (same hazard class as
+    # the ops/s2d packing einsums).
+    hp = jax.lax.Precision.HIGHEST
+    mm = lambda a, w: jnp.matmul(a, w, precision=hp)  # noqa: E731
+    ka = mm(jnp.asarray(pack_pointwise(fam["branch1"]["kernel"])[0, 0], jnp.float32), wf[0])
+    kb = mm(
+        jnp.asarray(pack_pointwise(fam["branch2_conv"]["kernel"])[0, 0], jnp.float32),
+        wf[1],
     )
-    k32f = jnp.einsum("uvio,op->uvip", k["branch3_conv2"], wf[2])
-    k42f = jnp.einsum("uvio,op->uvip", k["branch4_conv2"], wf[3])
+    k32f = jnp.einsum("uvio,op->uvip", k["branch3_conv2"], wf[2], precision=hp)
+    k42f = jnp.einsum("uvio,op->uvip", k["branch4_conv2"], wf[3], precision=hp)
     bias_total = (
         _tile4(b["fusion"])
-        + _tile4(b["branch1"]) @ wf[0]
-        + _tile4(b["branch2_conv"]) @ wf[1]
-        + _tile4(b["branch3_conv2"]) @ wf[2]
-        + _tile4(b["branch4_conv2"]) @ wf[3]
+        + mm(_tile4(b["branch1"]), wf[0])
+        + mm(_tile4(b["branch2_conv"]), wf[1])
+        + mm(_tile4(b["branch3_conv2"]), wf[2])
+        + mm(_tile4(b["branch4_conv2"]), wf[3])
     )
     return {
         "k": k,

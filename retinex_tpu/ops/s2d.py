@@ -157,12 +157,22 @@ def _pack_s2_map(k: int) -> np.ndarray:
 
 def pack_kernel_s1_t(kernel: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
     """Traceable/differentiable :func:`pack_kernel_s1` (einsum against a
-    constant 0/1 placement tensor — a pure permutation, exact in any dtype).
-    Used by the packed TRAIN path, where the packing sits inside the jitted
-    step so gradients flow back to the original Flax parameters."""
+    constant 0/1 placement tensor — a pure permutation). Used by the packed
+    TRAIN path, where the packing sits inside the jitted step so gradients
+    flow back to the original Flax parameters.
+
+    precision=HIGHEST on every packing einsum: the selection tensor is exact
+    in bf16, but the WEIGHT operand is not — at TPU default matmul precision
+    the MXU would truncate the f32 weights to bf16 inside the f32 train step
+    (same hazard class as the border-cell 257 in clahe_gather). HIGHEST keeps
+    the permutation bit-exact; the contractions are tiny (one [k,k,C,C']
+    kernel per conv per step)."""
     k, _, cin, cout = kernel.shape
     m = jnp.asarray(_pack_s1_map(k, int(dilation)))
-    out = jnp.einsum("pqxyuv,uvio->pqxiyo", m, kernel.astype(jnp.float32))
+    out = jnp.einsum(
+        "pqxyuv,uvio->pqxiyo", m, kernel.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return out.reshape(m.shape[0], m.shape[1], 4 * cin, 4 * cout)
 
 
@@ -170,7 +180,10 @@ def pack_kernel_s2_t(kernel: jnp.ndarray) -> jnp.ndarray:
     """Traceable/differentiable :func:`pack_kernel_s2`."""
     k, _, cin, cout = kernel.shape
     m = jnp.asarray(_pack_s2_map(k))
-    out = jnp.einsum("pqxuv,uvio->pqxio", m, kernel.astype(jnp.float32))
+    out = jnp.einsum(
+        "pqxuv,uvio->pqxio", m, kernel.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return out.reshape(m.shape[0], m.shape[1], 4 * cin, cout)
 
 
@@ -178,7 +191,8 @@ def pack_pointwise_t(kernel: jnp.ndarray) -> jnp.ndarray:
     """Traceable/differentiable :func:`pack_pointwise`."""
     cin, cout = kernel.shape[2], kernel.shape[3]
     out = jnp.einsum(
-        "xy,io->xiyo", jnp.eye(4, dtype=jnp.float32), kernel[0, 0].astype(jnp.float32)
+        "xy,io->xiyo", jnp.eye(4, dtype=jnp.float32), kernel[0, 0].astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(1, 1, 4 * cin, 4 * cout)
 
@@ -192,7 +206,10 @@ def pack_convtranspose2_t(kernel: jnp.ndarray) -> jnp.ndarray:
     for c in range(2):
         for d in range(2):
             f[c * 2 + d, 1 - c, 1 - d] = 1.0
-    out = jnp.einsum("yuv,uvio->iyo", jnp.asarray(f), kernel.astype(jnp.float32))
+    out = jnp.einsum(
+        "yuv,uvio->iyo", jnp.asarray(f), kernel.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return out.reshape(1, 1, cin, 4 * cout)
 
 
