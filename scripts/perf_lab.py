@@ -2093,6 +2093,59 @@ def run_lumafast():
     measure("luma f32 wrapper", jax.jit(functools.partial(cl.clahe_luma_rgb)), xf)
 
 
+@exp("lumastages")
+def run_lumastages():
+    """In-graph stage attribution for the luma-gain pipeline (cumulative
+    prefixes, same process): luma pass -> +tables -> full, plus the apply
+    kernel standalone on precomputed operands. The lumafast A/B measured
+    ~2.65 ms/batch vs a ~1.3 ms op-count floor (luma ~0.1 + tables ~0.5 +
+    apply ~0.7) — this locates the slack."""
+    import retinex_tpu.ops.clahe_gather as cg
+    import retinex_tpu.ops.clahe_luma as cl
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+    hh, hw = H // NCY, W // NCX
+    rows = hh * NCX
+    area = (2 * hh) * (2 * hw)
+
+    measure("full (baseline)", jax.jit(cl.clahe_luma_rgb_u8_planar), xs)
+
+    @jax.jit
+    def luma_only(xp):
+        return cl._luma_u8(xp)
+
+    measure("prefix: luma only", luma_only, xs)
+
+    @jax.jit
+    def luma_tables(xp):
+        y = cl._luma_u8(xp)
+        y_cells = y.reshape(B, NCY, hh, NCX, hw)
+        return y, cg._tables_stage(y_cells, 2.0, TILES, TILES, area)
+
+    measure("prefix: luma+tables", luma_tables, xs)
+
+    # Apply kernel standalone: precomputed luma + tables, barriered so XLA
+    # cannot fold the operand prep into the measured dispatch.
+    ys = []
+    for xp in xs:
+        y = cl._luma_u8(xp)
+        y_cells = y.reshape(B, NCY, hh, NCX, hw)
+        luts = cg._tables_stage(y_cells, 2.0, TILES, TILES, area)
+        ys.append((xp.reshape(B, 3, NCY, rows, hw), y.reshape(B, NCY, rows, hw), luts))
+
+    @jax.jit
+    def apply_only(args):
+        rgb5, y5, luts = args
+        return cl._apply_luma_stage5(rgb5, y5, luts, NCX, False)
+
+    measure("apply standalone", apply_only, ys)
+
+
 @exp("trainsplit")
 def run_trainsplit():
     """Where does the train step go? Full 7-loss step vs no-perceptual (VGG
