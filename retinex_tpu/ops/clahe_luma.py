@@ -23,9 +23,13 @@ luminance plane with the same LUTs); the difference is chroma handling — Lab
 holds a/b fixed (hue+chroma constant in Lab space) while the gain scales RGB
 proportionally (hue-preserving in RGB ratios, chroma scales with the gain,
 saturated channels clip). Per-pixel cost drops from ~230 VPU op-slots to
-~45, which at the measured 0.66 ps/slot VPU rate plus HBM/tables floors
-predicts ~1.5-1.8 ms/batch-8 ≈ 4,400-5,300 fps/chip (vs 3.86 ms for Lab) —
-the measured A/B lives in BENCH_NOTES.md (perf_lab lumafast).
+~45. MEASURED (perf_lab lumafast, interleaved same-process A/B, v5e):
+2.65-2.99 ms/batch-8 ≈ 2,700-3,000 fps/chip planar u8 vs 3.96-4.15 ms ≈
+1,930-2,040 for Lab (~1.45x), f32 wrapper 3.49 ms ≈ 2,290 fps vs 4.83 ≈
+1,656; the kernel is bit-exact vs the XLA oracle on-chip (maxd 0). The
+op-count prediction (~1.5-1.8 ms) overshot because the tables stage and
+HBM glue (~1.3 ms combined) don't shrink with the apply math — see the
+lumastages attribution in BENCH_NOTES.md.
 
 Structure mirrors the Lab 5D pipeline (one XLA luma pass replaces the fwd
 kernel; `_tables_stage` is reused verbatim; one Pallas apply kernel):
