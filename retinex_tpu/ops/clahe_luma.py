@@ -124,6 +124,103 @@ def _apply_luma_kernel5(ncx, nb, rgb_ref, y_ref, luts_ref, xa_ref, ya_ref, out_r
             out_ref[c, r] = o.astype(jnp.uint8)
 
 
+def _apply_luma_kernel5_fused(ncx, nb, rgb_ref, luts_ref, xa_ref, ya_ref, out_ref):
+    """Fused variant of :func:`_apply_luma_kernel5`: recomputes the luma plane
+    in-kernel from the RGB block it already loads (same formula and operation
+    order as :func:`_luma_u8`, so interpret mode is bit-identical) instead of
+    taking it as an operand. Drops the [nb, rows, hw] y block from the
+    kernel's DMA and leaves the XLA luma pass with a single consumer (the
+    histogram tile transpose), letting XLA fuse luma straight into that copy
+    — the linear-layout y plane never materializes in HBM.
+    """
+    rows, hw = rgb_ref.shape[2], rgb_ref.shape[3]
+    shape128 = (rows, 128)
+    hh = rows // ncx
+    xa = xa_ref[...]
+
+    for r in range(nb):
+        # In-kernel luma (u8 -> int32 -> f32: Mosaic has no direct u8 cast).
+        rgb_f = [rgb_ref[c, r].astype(jnp.int32).astype(jnp.float32) for c in range(3)]
+        y_f = _LUMA_R * rgb_f[0] + _LUMA_G * rgb_f[1] + _LUMA_B * rgb_f[2]
+        v = jnp.clip(jnp.round(y_f), 0.0, 255.0).astype(jnp.int32)
+
+        if nb % 2 == 0:
+            ya2 = ya_ref[:, (r % 2) : (r % 2) + 1]  # [rows, 1], parity static
+        else:
+            cy = pl.program_id(1) * nb + r
+            ya2 = jnp.where(cy % 2 == 0, ya_ref[:, 0:1], ya_ref[:, 1:2])
+        ya = jnp.broadcast_to(ya2, (rows, hw))
+
+        v128 = jnp.pad(v, ((0, 0), (0, 128 - hw))) if hw < 128 else v
+        hi_side = v128 >= 128
+        idx128 = jnp.where(hi_side, v128 - 128, v128)
+        lo_t = jnp.broadcast_to(luts_ref[r, :, 0][None], (hh, ncx, 128)).reshape(shape128)
+        hi_t = jnp.broadcast_to(luts_ref[r, :, 1][None], (hh, ncx, 128)).reshape(shape128)
+        g_lo = jnp.take_along_axis(lo_t, idx128, axis=1)
+        g_hi = jnp.take_along_axis(hi_t, idx128, axis=1)
+        word = jnp.where(hi_side, g_hi, g_lo)[:, :hw]
+        l00 = (word & 255).astype(jnp.float32)
+        l01 = ((word >> 8) & 255).astype(jnp.float32)
+        l10 = ((word >> 16) & 255).astype(jnp.float32)
+        l11 = ((word >> 24) & 255).astype(jnp.float32)
+
+        top = l00 * (1.0 - xa) + l01 * xa
+        bot = l10 * (1.0 - xa) + l11 * xa
+        y_eq = jnp.clip(jnp.round(top * (1.0 - ya) + bot * ya), 0.0, 255.0)
+
+        gain = (y_eq + 1.0) / (v.astype(jnp.float32) + 1.0)
+        for c in range(3):
+            o = jnp.round(jnp.clip(rgb_f[c] * gain, 0.0, 255.0)).astype(jnp.int32)
+            out_ref[c, r] = o.astype(jnp.uint8)
+
+
+def _apply_luma_stage5_fused(
+    rgb5: jnp.ndarray,
+    lane_luts: jnp.ndarray,
+    ncx: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[b, 3, ncy, rows, hw] u8 + packed tables -> [b, 3, ncy, rows, hw] u8
+    (luma recomputed in-kernel; no y operand)."""
+    b, _, ncy, rows, hw = rgb5.shape
+    hh = rows // ncx
+    nb = _pick_bands(ncy)
+    wx = _blend_weights(hw)  # [2, hw]
+    wy = _blend_weights(hh)  # [2, hh]
+    xa_full = jnp.asarray(
+        np.broadcast_to(wx[np.arange(ncx) % 2][None], (hh, ncx, hw)).reshape(rows, hw)
+    )
+    ya_full = jnp.asarray(
+        np.broadcast_to(wy.T[:, None, :], (hh, ncx, 2)).reshape(rows, 2)
+    )
+
+    return pl.pallas_call(
+        functools.partial(_apply_luma_kernel5_fused, ncx, nb),
+        grid=(b, ncy // nb),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 3, nb, rows, hw),
+                lambda i, j: (i, 0, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, nb, ncx, 2, 128),
+                lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((rows, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 3, nb, rows, hw),
+            lambda i, j: (i, 0, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 3, ncy, rows, hw), jnp.uint8),
+        interpret=interpret,
+    )(rgb5, lane_luts, xa_full, ya_full)
+
+
 def _apply_luma_stage5(
     rgb5: jnp.ndarray,
     y5: jnp.ndarray,
@@ -178,7 +275,8 @@ def _apply_luma_stage5(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
+    jax.jit,
+    static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret", "fuse_luma"),
 )
 def clahe_luma_rgb_u8_planar(
     xp_u8: jnp.ndarray,
@@ -186,11 +284,16 @@ def clahe_luma_rgb_u8_planar(
     tiles_x: int = 8,
     tiles_y: int = 8,
     interpret: bool = False,
+    fuse_luma: bool = False,
 ) -> jnp.ndarray:
     """Planar uint8 luma-gain CLAHE: [B, 3, H, W] -> [B, 3, H, W].
 
     Requires `gather_supported` shapes (callers fall back to the XLA
-    formulation otherwise)."""
+    formulation otherwise). `fuse_luma=True` recomputes the luma plane inside
+    the apply kernel (one XLA luma pass feeds only the histograms) instead of
+    materializing it as a kernel operand — bit-identical in interpret mode
+    (tests/test_clahe_luma.py); candidate default pending an on-chip A/B
+    (perf_lab lumafuse)."""
     b, _, h, w = xp_u8.shape
     if not gather_supported(h, w, tiles_y, tiles_x):
         raise ValueError(f"shape {(h, w)} unsupported by the gather kernel")
@@ -204,8 +307,11 @@ def clahe_luma_rgb_u8_planar(
     lane_luts = _tables_stage(y_cells, clip_limit, tiles_y, tiles_x, area)
 
     rgb5 = xp_u8.reshape(b, 3, ncy, rows, hw)
-    y5 = y.reshape(b, ncy, rows, hw)
-    out5 = _apply_luma_stage5(rgb5, y5, lane_luts, ncx, interpret)
+    if fuse_luma:
+        out5 = _apply_luma_stage5_fused(rgb5, lane_luts, ncx, interpret)
+    else:
+        y5 = y.reshape(b, ncy, rows, hw)
+        out5 = _apply_luma_stage5(rgb5, y5, lane_luts, ncx, interpret)
     return out5.reshape(b, 3, h, w)
 
 

@@ -2146,6 +2146,33 @@ def run_lumastages():
     measure("apply standalone", apply_only, ys)
 
 
+@exp("lumafuse")
+def run_lumafuse():
+    """fuse_luma A/B: luma recomputed inside the apply kernel (y plane feeds
+    only the histograms, fusing into the tile transpose) vs the y-operand
+    kernel. Parity assert first, then interleaved timing."""
+    import retinex_tpu.ops.clahe_luma as cl
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+
+    want = np.asarray(cl.clahe_luma_rgb_u8_planar(xs[0])).astype(np.int32)
+    got = np.asarray(cl.clahe_luma_rgb_u8_planar(xs[0], fuse_luma=True)).astype(np.int32)
+    d = np.abs(want - got)
+    print(f"on-chip fused-vs-base parity: maxd {d.max()} frac>0 {(d > 0).mean():.2e}", flush=True)
+    assert d.max() <= 2, "fused luma kernel diverges on-chip"
+
+    base = jax.jit(cl.clahe_luma_rgb_u8_planar)
+    fused = jax.jit(functools.partial(cl.clahe_luma_rgb_u8_planar, fuse_luma=True))
+    for rep in range(3):
+        measure(f"[{rep}] luma base ", base, xs)
+        measure(f"[{rep}] luma fused", fused, xs)
+
+
 @exp("trainsplit")
 def run_trainsplit():
     """Where does the train step go? Full 7-loss step vs no-perceptual (VGG

@@ -46,6 +46,15 @@ def test_planar_and_nhwc_agree(img_u8):
     np.testing.assert_array_equal(out_p.transpose(0, 2, 3, 1), out_n)
 
 
+def test_fused_luma_matches_unfused(img_u8):
+    # The fuse_luma kernel recomputes the luma plane in-kernel with the same
+    # formula/op order as _luma_u8 — interpret mode must be bit-identical.
+    xp = jnp.transpose(img_u8, (0, 3, 1, 2))
+    base = np.asarray(clahe_luma_rgb_u8_planar(xp, interpret=True))
+    fused = np.asarray(clahe_luma_rgb_u8_planar(xp, interpret=True, fuse_luma=True))
+    np.testing.assert_array_equal(fused, base)
+
+
 def test_float_entry_routes_and_scales(img_u8):
     x = img_u8.astype(jnp.float32) / 255.0
     out = np.asarray(clahe_luma_rgb(x))  # CPU -> XLA formulation
