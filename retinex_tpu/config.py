@@ -104,10 +104,11 @@ class Config:
     # the MXU. Same parameters, batch-stats pytree, and losses up to float
     # reassociation (tests/test_packed_train.py); checkpoints interchange
     # with the standard path. Requires image_size divisible by 32 (letterbox
-    # default); falls back to the standard step otherwise. Opt-in until the
-    # full-graph TPU A/B lands (bench.py measures both; repo rule: no default
-    # flips without an in-graph measurement — BENCH_NOTES.md).
-    packed_train: bool = False
+    # default); falls back to the standard step otherwise. Default ON per the
+    # round-3 on-chip full-graph A/B (bench.py, 256px b4): 17.6 vs 15.5
+    # steps/s f32 and 36.6 vs 18.5 bf16 — the narrow-conv backward is the
+    # train step's floor and packing doubles the bf16 step (BENCH_NOTES.md).
+    packed_train: bool = True
     # Gradient accumulation (optax.MultiSteps): average gradients across N
     # micro-batches and apply the optimizer every N-th — effective batch =
     # batch_size * N without the HBM. Clipping sees the mean gradient; BN

@@ -292,8 +292,10 @@ def clahe_luma_rgb_u8_planar(
     formulation otherwise). `fuse_luma=True` recomputes the luma plane inside
     the apply kernel (one XLA luma pass feeds only the histograms) instead of
     materializing it as a kernel operand — bit-identical in interpret mode
-    (tests/test_clahe_luma.py); candidate default pending an on-chip A/B
-    (perf_lab lumafuse)."""
+    (tests/test_clahe_luma.py) and bit-exact on-chip (maxd 0). MEASURED
+    NEUTRAL (perf_lab lumafuse, 3 interleaved reps: base 2.48/2.53/2.71
+    ms/batch-8 vs fused 2.61/2.54/2.62): the y-plane operand's 16 MB of DMA
+    is not a bottleneck, so the default stays False (simpler kernel)."""
     b, _, h, w = xp_u8.shape
     if not gather_supported(h, w, tiles_y, tiles_x):
         raise ValueError(f"shape {(h, w)} unsupported by the gather kernel")

@@ -191,9 +191,14 @@ def _train_impl(config: Config, preempted: dict) -> dict:
         state, start_epoch, best_loss = load_checkpoint(state, config.resume)
         print(f"Resumed from {config.resume} at epoch {start_epoch}")
 
-    use_packed = config.packed_train and config.image_size % 32 == 0
+    # The packed step's win is the MXU (narrow convs run 4x wider — 2x bf16
+    # step throughput on v5e, BENCH_NOTES.md); on CPU the packing einsums are
+    # pure overhead, so the default-ON flag only engages off-CPU.
+    on_cpu = jax.devices()[0].platform == "cpu"
+    use_packed = config.packed_train and config.image_size % 32 == 0 and not on_cpu
     if config.packed_train and not use_packed:
-        print("packed_train: image_size not divisible by 32, using standard step")
+        reason = "CPU backend" if on_cpu else "image_size not divisible by 32"
+        print(f"packed_train: {reason}, using standard step")
     train_step = make_train_step(model, criterion, mesh=mesh, packed=use_packed)
 
     if proc_idx == 0:

@@ -2121,6 +2121,27 @@ def run_lumastages():
 
     measure("prefix: luma only", luma_only, xs)
 
+    # Finer prefixes inside the tables stage (round-3 finding: tables is
+    # ~1.66 ms of the 2.44 ms pipeline — locate it between the histogram,
+    # the OpenCV LUT build, and the neighbour-select/byte-pack einsum).
+    from retinex_tpu.ops.clahe_fast import _luts_from_hist
+    from retinex_tpu.ops.clahe_gather import _hist_planar
+
+    @jax.jit
+    def luma_hist(xp):
+        y = cl._luma_u8(xp)
+        return y, _hist_planar(y, TILES, TILES)
+
+    measure("prefix: luma+hist", luma_hist, xs)
+
+    @jax.jit
+    def luma_luts(xp):
+        y = cl._luma_u8(xp)
+        hist = _hist_planar(y, TILES, TILES)
+        return y, _luts_from_hist(hist, 2.0, area)
+
+    measure("prefix: luma+hist+lutbuild", luma_luts, xs)
+
     @jax.jit
     def luma_tables(xp):
         y = cl._luma_u8(xp)
@@ -2143,7 +2164,7 @@ def run_lumastages():
         rgb5, y5, luts = args
         return cl._apply_luma_stage5(rgb5, y5, luts, NCX, False)
 
-    measure("apply standalone", apply_only, ys)
+    measure("apply standalone", apply_only, ys, batch=B)
 
 
 @exp("lumafuse")
