@@ -2167,6 +2167,71 @@ def run_lumastages():
     measure("apply standalone", apply_only, ys, batch=B)
 
 
+@exp("histrow")
+def run_histrow():
+    """Row-hist formulation vs the tile-transpose hist, in-graph (luma+tables
+    prefix, interleaved). hist[tile] = sum over tile rows of per-(row, x-tile)
+    16x16 nibble outer products — einsum contracts only the w axis (free
+    view, NO u8 tile transpose), then a [*, th, *] f32 reduce. Trades the
+    0.4 ms transpose for a 71 MB f32 intermediate (~0.17 ms at 830 GB/s) and
+    a batched tiny-matmul lowering XLA may or may not like."""
+    import retinex_tpu.ops.clahe_gather as cg
+    import retinex_tpu.ops.clahe_luma as cl
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+    hh, hw = H // NCY, W // NCX
+    area = (2 * hh) * (2 * hw)
+
+    def hist_rows(l_u8, tiles_y, tiles_x):
+        b, h, w = l_u8.shape
+        th, tw = h // tiles_y, w // tiles_x
+        v = l_u8.reshape(b, h, tiles_x, tw).astype(jnp.int32)
+        iota = jnp.arange(16, dtype=jnp.int32)
+        hi = ((v >> 4)[..., None] == iota).astype(jnp.bfloat16)
+        lo = ((v & 15)[..., None] == iota).astype(jnp.bfloat16)
+        h16 = jnp.einsum(
+            "bhxwi,bhxwj->bhxij", hi, lo, preferred_element_type=jnp.float32
+        )
+        hist = h16.reshape(b, tiles_y, th, tiles_x, 256).sum(axis=2)
+        return hist.astype(jnp.int32)
+
+    # Exactness first (counts are integers <= tile_area < 2^24; f32 exact).
+    y0 = cl._luma_u8(xs[0])
+    want = np.asarray(cg._hist_planar(y0, TILES, TILES))
+    got = np.asarray(hist_rows(y0, TILES, TILES))
+    np.testing.assert_array_equal(want, got)
+    print("hist_rows exact vs _hist_planar", flush=True)
+
+    @jax.jit
+    def tables_current(xp):
+        y = cl._luma_u8(xp)
+        y_cells = y.reshape(B, NCY, hh, NCX, hw)
+        return y, cg._tables_stage(y_cells, 2.0, TILES, TILES, area)
+
+    orig = cg._hist_planar
+    try:
+        cg._hist_planar = lambda l, ty, tx: hist_rows(l, ty, tx)
+
+        @jax.jit
+        def tables_rowhist(xp):
+            y = cl._luma_u8(xp)
+            y_cells = y.reshape(B, NCY, hh, NCX, hw)
+            return y, cg._tables_stage(y_cells, 2.0, TILES, TILES, area)
+
+        _timed(tables_rowhist, xs, 1)  # trace+compile WHILE patched
+    finally:
+        cg._hist_planar = orig
+
+    for rep in range(3):
+        measure(f"[{rep}] luma+tables current", tables_current, xs)
+        measure(f"[{rep}] luma+tables rowhist", tables_rowhist, xs)
+
+
 @exp("lumafuse")
 def run_lumafuse():
     """fuse_luma A/B: luma recomputed inside the apply kernel (y plane feeds
