@@ -21,6 +21,7 @@ The driver parses the LAST JSON line: the classical-f32 headline.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -214,6 +215,21 @@ def bench_classical(on_tpu: bool):
                 batch / dt_lu,
                 "frames/sec",
                 (batch / dt_lu) / BASELINE_FPS,
+            )
+            # Decimated-histogram knob (hist_subsample=2): tile histograms
+            # from 1/4 of the luma pixels, 46-51 dB PSNR vs the exact-hist
+            # output on real photos (tests/test_clahe_luma.py). Opt-in via
+            # --clahe_hist_subsample; measured +23% (perf_lab lumasub).
+            dt_s2 = measure_batch_seconds(
+                functools.partial(clahe_luma_rgb_u8_planar, hist_subsample=2),
+                inputs_planar,
+                k_big=k_big,
+            )
+            emit(
+                "classical_enhance_1080p_u8_luma_fast_s2_fps_per_chip",
+                batch / dt_s2,
+                "frames/sec",
+                (batch / dt_s2) / BASELINE_FPS,
             )
         except Exception as e:  # pragma: no cover - hardware-dependent
             print(f"# luma-fast bench failed: {type(e).__name__}: {e}", flush=True)

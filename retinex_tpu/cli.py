@@ -168,6 +168,7 @@ def run(config: Config):
                 use_pallas=config.use_pallas_clahe,
                 clip_limit=config.clahe_clip_limit,
                 tiles=config.clahe_tiles,
+                hist_subsample=config.clahe_hist_subsample,
             )
         if input_path.is_dir():
             from retinex_tpu.infer.batch_driver import maybe_mesh
@@ -185,6 +186,7 @@ def run(config: Config):
                 mesh=mesh,
                 clip_limit=config.clahe_clip_limit,
                 tiles=config.clahe_tiles,
+                hist_subsample=config.clahe_hist_subsample,
                 enable_multi_scale=config.multi_scale,
                 enable_content_aware=config.content_aware,
             )

@@ -143,6 +143,7 @@ def enhance_single_image(
     save_outputs: bool = True,
     clip_limit: float = 2.0,
     tiles: int = 8,
+    hist_subsample: int = 1,
 ):
     """Route one image through exactly one pipeline and save
     enhanced/illumination/comparison PNGs
@@ -150,13 +151,16 @@ def enhance_single_image(
     `adjuster=` keyword, which the reference forgot to accept — fixed here,
     see PARITY.md). clip_limit/tiles apply to the standalone clahe/clahe_luma
     modes only; the adaptive path keeps the reference's fixed 2.0 / 8x8
-    (enhancers/adaptive_params.py:149)."""
+    (enhancers/adaptive_params.py:149). hist_subsample is the clahe_luma
+    decimated-histogram speed knob (ops/clahe_luma.py)."""
     img, _original_size = load_image(image_path, max_size)
     x = jnp.asarray(img)
 
     start = time.time()
     if classical_mode in CLASSICAL_MODES:
-        enhanced = _classical_enhance(x, classical_mode, use_pallas, clip_limit, tiles)
+        enhanced = _classical_enhance(
+            x, classical_mode, use_pallas, clip_limit, tiles, hist_subsample
+        )
         illu = rgb_to_luma(jnp.asarray(img))  # luminance stands in for the net's illu map
     elif enable_content_aware:
         enhanced, illu = ContentAwareEnhancer().apply_content_aware_enhancement(apply_fn, x)
@@ -183,6 +187,7 @@ def _classical_enhance(
     use_pallas,
     clip_limit: float = 2.0,
     tiles: int = 8,
+    hist_subsample: int = 1,
 ):
     """Route the no-net classical pipelines (batched NHWC or single HWC)."""
     if classical_mode == "ssr":
@@ -198,7 +203,10 @@ def _classical_enhance(
         # the Lab pipeline's speed-of-light (BENCH_NOTES.md round-3 SOL).
         from retinex_tpu.ops.clahe_luma import clahe_luma_rgb
 
-        return clahe_luma_rgb(x, clip_limit=clip_limit, tiles=tiles, use_pallas=use_pallas)
+        return clahe_luma_rgb(
+            x, clip_limit=clip_limit, tiles=tiles, use_pallas=use_pallas,
+            hist_subsample=hist_subsample,
+        )
     return msr_enhance(x, mode=classical_mode)
 
 

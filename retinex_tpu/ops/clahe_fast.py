@@ -66,14 +66,26 @@ def _blend_weights(cell: int) -> np.ndarray:
     return np.stack([even, odd], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y"))
+@functools.partial(
+    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "hist_subsample")
+)
 def clahe_u8_fast(
     img_u8: jnp.ndarray,
     clip_limit: float = 2.0,
     tiles_x: int = 8,
     tiles_y: int = 8,
+    hist_subsample: int = 1,
 ) -> jnp.ndarray:
-    """Drop-in replacement for clahe_u8 on cell-divisible shapes."""
+    """Drop-in replacement for clahe_u8 on cell-divisible shapes.
+
+    `hist_subsample=s` (s in {1, 2, 4}) estimates each tile histogram from a
+    within-cell s x s decimation of the pixels (the clip threshold and CDF
+    scale follow the reduced tile area, so the LUT semantics are the OpenCV
+    build applied to the decimated sample). A pure speed knob for the
+    reduced-parity luma mode (ops/clahe_luma.py) — it trades exact-histogram
+    parity for ~4x/16x less histogram work; s=1 is the exact default. On
+    shapes that are not cell-divisible the exact clahe_u8 fallback runs and
+    the knob is ignored (exact histograms are strictly higher fidelity)."""
     squeeze = img_u8.ndim == 2
     if squeeze:
         img_u8 = img_u8[None]
@@ -87,7 +99,6 @@ def clahe_u8_fast(
     v = img_u8.astype(jnp.int32)
     th, tw = h // tiles_y, w // tiles_x
     hh, hw = th // 2, tw // 2
-    tile_area = th * tw
     ncy, ncx = 2 * tiles_y, 2 * tiles_x
 
     # One-hot nibbles are cheap to compute (32 compares/pixel) but HUGE to
@@ -97,9 +108,13 @@ def clahe_u8_fast(
     # between the stages makes each stage regenerate its one-hots from the tiny
     # cell tensor, so both stages fuse the compares into their contractions and
     # nothing one-hot-sized ever leaves VMEM (measured ~2x end to end).
-    cells = v.reshape(b, ncy, hh, ncx, hw).transpose(0, 1, 3, 2, 4)
-    cells = cells.reshape(b, ncy, ncx, hh * hw)
-    chi, clo = _nibble_onehots(cells)  # [b,cy,cx,P,16]
+    v5 = v.reshape(b, ncy, hh, ncx, hw)
+    cells = v5.transpose(0, 1, 3, 2, 4).reshape(b, ncy, ncx, hh * hw)
+    vh = v5[:, :, ::hist_subsample, :, ::hist_subsample]
+    hh2, hw2 = vh.shape[2], vh.shape[4]
+    tile_area = 4 * hh2 * hw2  # == th * tw when hist_subsample == 1
+    cells_h = vh.transpose(0, 1, 3, 2, 4).reshape(b, ncy, ncx, hh2 * hw2)
+    chi, clo = _nibble_onehots(cells_h)  # [b,cy,cx,P,16]
 
     # ---- Stage 1: per-cell nibble outer products on the MXU -> tile hists ----
     cell_hist = jnp.einsum(

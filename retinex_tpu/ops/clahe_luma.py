@@ -276,7 +276,9 @@ def _apply_luma_stage5(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret", "fuse_luma"),
+    static_argnames=(
+        "clip_limit", "tiles_x", "tiles_y", "interpret", "fuse_luma", "hist_subsample"
+    ),
 )
 def clahe_luma_rgb_u8_planar(
     xp_u8: jnp.ndarray,
@@ -285,6 +287,7 @@ def clahe_luma_rgb_u8_planar(
     tiles_y: int = 8,
     interpret: bool = False,
     fuse_luma: bool = False,
+    hist_subsample: int = 1,
 ) -> jnp.ndarray:
     """Planar uint8 luma-gain CLAHE: [B, 3, H, W] -> [B, 3, H, W].
 
@@ -295,17 +298,27 @@ def clahe_luma_rgb_u8_planar(
     (tests/test_clahe_luma.py) and bit-exact on-chip (maxd 0). MEASURED
     NEUTRAL (perf_lab lumafuse, 3 interleaved reps: base 2.48/2.53/2.71
     ms/batch-8 vs fused 2.61/2.54/2.62): the y-plane operand's 16 MB of DMA
-    is not a bottleneck, so the default stays False (simpler kernel)."""
+    is not a bottleneck, so the default stays False (simpler kernel).
+
+    `hist_subsample=s` estimates the tile histograms from a within-cell
+    s x s decimation of the luma plane (clip threshold and CDF scale follow
+    the reduced area — the same semantics as clahe_u8_fast's knob, so the
+    XLA oracle stays bit-comparable). The tables stage is this pipeline's
+    dominant cost (~1.5 of 2.65 ms/batch-8, BENCH_NOTES lumastages) and its
+    histogram half scales with pixels sampled; s=2 reads 1/4 of them. An
+    approximation knob on an already reduced-parity mode — default 1."""
     b, _, h, w = xp_u8.shape
     if not gather_supported(h, w, tiles_y, tiles_x):
         raise ValueError(f"shape {(h, w)} unsupported by the gather kernel")
     ncy, ncx = 2 * tiles_y, 2 * tiles_x
     hh, hw = h // ncy, w // ncx
     rows = hh * ncx
-    area = (2 * hh) * (2 * hw)
 
     y = _luma_u8(xp_u8)  # [b, h, w]
-    y_cells = y.reshape(b, ncy, hh, ncx, hw)
+    y_cells = y.reshape(b, ncy, hh, ncx, hw)[
+        :, :, ::hist_subsample, :, ::hist_subsample
+    ]
+    area = 4 * y_cells.shape[2] * y_cells.shape[4]  # == (2hh)(2hw) at s=1
     lane_luts = _tables_stage(y_cells, clip_limit, tiles_y, tiles_x, area)
 
     rgb5 = xp_u8.reshape(b, 3, ncy, rows, hw)
@@ -318,7 +331,8 @@ def clahe_luma_rgb_u8_planar(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
+    jax.jit,
+    static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret", "hist_subsample"),
 )
 def clahe_luma_rgb_u8(
     x_u8: jnp.ndarray,
@@ -326,6 +340,7 @@ def clahe_luma_rgb_u8(
     tiles_x: int = 8,
     tiles_y: int = 8,
     interpret: bool = False,
+    hist_subsample: int = 1,
 ) -> jnp.ndarray:
     """uint8 NHWC (or HWC) luma-gain CLAHE."""
     squeeze = x_u8.ndim == 3
@@ -333,30 +348,39 @@ def clahe_luma_rgb_u8(
         x_u8 = x_u8[None]
     xp = x_u8.transpose(0, 3, 1, 2)
     outp = clahe_luma_rgb_u8_planar(
-        xp, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y, interpret=interpret
+        xp, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y,
+        interpret=interpret, hist_subsample=hist_subsample,
     )
     out = outp.transpose(0, 2, 3, 1)
     return out[0] if squeeze else out
 
 
-@functools.partial(jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y"))
+@functools.partial(
+    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "hist_subsample")
+)
 def clahe_luma_rgb_u8_xla(
     x_u8: jnp.ndarray,
     clip_limit: float = 2.0,
     tiles_x: int = 8,
     tiles_y: int = 8,
+    hist_subsample: int = 1,
 ) -> jnp.ndarray:
     """Pure-XLA formulation of the same algorithm (any shape, any platform).
 
     The parity oracle for the Pallas kernel (tests/test_clahe_luma.py) and
     the fallback for unsupported shapes: `clahe_u8_fast` evaluates the
-    identical tile LUTs + bilinear blend on the luma plane."""
+    identical tile LUTs + bilinear blend on the luma plane (including the
+    same within-cell `hist_subsample` decimation, so the two formulations
+    stay bit-comparable at every s)."""
     squeeze = x_u8.ndim == 3
     if squeeze:
         x_u8 = x_u8[None]
     xp = x_u8.transpose(0, 3, 1, 2)
     y = _luma_u8(xp)
-    y_eq = clahe_u8_fast(y, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y)
+    y_eq = clahe_u8_fast(
+        y, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y,
+        hist_subsample=hist_subsample,
+    )
     gain = (y_eq.astype(jnp.float32) + 1.0) / (y.astype(jnp.float32) + 1.0)
     o = jnp.round(jnp.clip(xp.astype(jnp.float32) * gain[:, None], 0.0, 255.0))
     out = o.astype(jnp.uint8).transpose(0, 2, 3, 1)
@@ -368,12 +392,16 @@ def clahe_luma_rgb(
     clip_limit: float = 2.0,
     tiles: int = 8,
     use_pallas: bool | None = None,
+    hist_subsample: int = 1,
 ) -> jnp.ndarray:
     """Float [0,1] NHWC/HWC luma-gain CLAHE (the `clahe_luma` enhance mode).
 
     Routing mirrors ops/clahe.clahe_lab_rgb: the Pallas pipeline on TPU for
     supported shapes, the XLA formulation otherwise (bit-identical up to FMA
-    formation at exact .5 blend ties)."""
+    formation at exact .5 blend ties). `hist_subsample` is the decimated-
+    histogram speed knob (see clahe_luma_rgb_u8_planar); on shapes where the
+    XLA fallback is not cell-divisible the exact histogram runs instead
+    (strictly higher fidelity, clahe_u8_fast routing)."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
@@ -385,11 +413,15 @@ def clahe_luma_rgb(
     if use_pallas and on_accel and gather_supported(x.shape[1], x.shape[2], tiles, tiles):
         xp = x.transpose(0, 3, 1, 2)
         xq = jnp.clip(jnp.round(jnp.clip(xp, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
-        outp = clahe_luma_rgb_u8_planar(xq, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles)
+        outp = clahe_luma_rgb_u8_planar(
+            xq, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles,
+            hist_subsample=hist_subsample,
+        )
         out = (outp.astype(jnp.float32) / 255.0).transpose(0, 2, 3, 1)
     else:
         xq = jnp.clip(jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
         out = clahe_luma_rgb_u8_xla(
-            xq, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles
+            xq, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles,
+            hist_subsample=hist_subsample,
         ).astype(jnp.float32) / 255.0
     return out[0] if squeeze else out

@@ -2167,6 +2167,53 @@ def run_lumastages():
     measure("apply standalone", apply_only, ys, batch=B)
 
 
+@exp("lumasub")
+def run_lumasub():
+    """Decimated-histogram knob for the luma mode (hist_subsample): parity
+    vs the XLA oracle on-chip first, then interleaved s=1 / s=2 / s=4 planar
+    u8 A/B. The tables stage is ~1.5 ms of the 2.65 ms pipeline and its hist
+    half scales with sampled pixels — s=2 reads 1/4 of them (quality on a
+    real photo: 46-51 dB vs exact hist, tests/test_clahe_luma.py)."""
+    import retinex_tpu.ops.clahe_luma as cl
+
+    B = 8
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+
+    for s in (2, 4):
+        want = np.asarray(
+            cl.clahe_luma_rgb_u8_xla(xs[0].transpose(0, 2, 3, 1), hist_subsample=s)
+        ).astype(np.int32)
+        got = (
+            np.asarray(cl.clahe_luma_rgb_u8_planar(xs[0], hist_subsample=s))
+            .transpose(0, 2, 3, 1)
+            .astype(np.int32)
+        )
+        d = np.abs(want - got)
+        print(
+            f"s={s} on-chip parity vs XLA oracle: maxd {d.max()} "
+            f"frac>0 {(d > 0).mean():.2e}",
+            flush=True,
+        )
+        assert d.max() <= 2, f"s={s} kernel diverges from the XLA oracle on-chip"
+
+    for rep in range(3):
+        measure(f"[{rep}] luma s=1", jax.jit(cl.clahe_luma_rgb_u8_planar), xs)
+        measure(
+            f"[{rep}] luma s=2",
+            jax.jit(functools.partial(cl.clahe_luma_rgb_u8_planar, hist_subsample=2)),
+            xs,
+        )
+        measure(
+            f"[{rep}] luma s=4",
+            jax.jit(functools.partial(cl.clahe_luma_rgb_u8_planar, hist_subsample=4)),
+            xs,
+        )
+
+
 @exp("histrow")
 def run_histrow():
     """Row-hist formulation vs the tile-transpose hist, in-graph (luma+tables

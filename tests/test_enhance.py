@@ -158,3 +158,24 @@ def test_enhance_classical_modes(tmp_path):
         arr = np.asarray(enhanced)
         assert np.isfinite(arr).all()
         assert os.path.exists(os.path.join(out_dir, "102708607-003694-003694_enhanced.png"))
+
+
+def test_enhance_hist_subsample_plumbing(tmp_path):
+    """--clahe_hist_subsample reaches the luma kernel: the s=2 single-image
+    enhance equals calling clahe_luma_rgb with hist_subsample=2 directly, and
+    differs from the exact-histogram (s=1) output."""
+    from retinex_tpu.infer.enhance import load_image
+    from retinex_tpu.ops.clahe_luma import clahe_luma_rgb
+
+    src = "/root/reference/data/input/102708607-003694-003694.jpg"
+    img, _ = load_image(src, 128)
+    o1, _, _ = enhance_single_image(
+        None, src, str(tmp_path / "s1"), max_size=128, classical_mode="clahe_luma"
+    )
+    o2, _, _ = enhance_single_image(
+        None, src, str(tmp_path / "s2"), max_size=128, classical_mode="clahe_luma",
+        hist_subsample=2,
+    )
+    want = clahe_luma_rgb(jnp.asarray(img), hist_subsample=2)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(want), atol=1e-7)
+    assert np.abs(np.asarray(o2) - np.asarray(o1)).max() > 0
