@@ -223,6 +223,7 @@ def enhance_batch_images(
     mesh=None,
     clip_limit: float = 2.0,
     tiles: int = 8,
+    hist_subsample: int = 1,
     enable_multi_scale: bool = False,
     enable_content_aware: bool = False,
 ):
@@ -293,7 +294,8 @@ def enhance_batch_images(
                     from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8
 
                     return clahe_luma_rgb_u8(
-                        batch_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles
+                        batch_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles,
+                        hist_subsample=hist_subsample,
                     ), None
                 return clahe_rgb_u8_gather(
                     batch_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles
@@ -301,7 +303,9 @@ def enhance_batch_images(
             x = batch_u8.astype(jnp.float32) / 255.0
             if mode_key in CLASSICAL_MODES:
                 return quant(
-                    _classical_enhance(x, mode_key, use_pallas, clip_limit, tiles)
+                    _classical_enhance(
+                        x, mode_key, use_pallas, clip_limit, tiles, hist_subsample
+                    )
                 ), None
             # Net modes: route exactly like enhance_single_image (the
             # content-aware/multi-scale enhancers are batch-aware with

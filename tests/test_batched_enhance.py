@@ -95,6 +95,24 @@ def test_batched_clahe_luma_matches_single(image_dir, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_batched_clahe_luma_hist_subsample_matches_single(image_dir, tmp_path):
+    # The decimated-histogram knob must reach the batched pipeline too, and
+    # batched == single-image byte-for-byte at the same s.
+    out_b = tmp_path / "batched_s2"
+    out_s = tmp_path / "single_s2"
+    enhance_batch_images(
+        None, str(image_dir), str(out_b), classical_mode="clahe_luma",
+        batch_size=4, hist_subsample=2,
+    )
+    enhance_single_image(
+        None, str(image_dir / "wide_0.png"), str(out_s),
+        classical_mode="clahe_luma", hist_subsample=2,
+    )
+    a = np.asarray(Image.open(out_b / "wide_0_enhanced.png"))
+    b = np.asarray(Image.open(out_s / "wide_0_enhanced.png"))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_batched_msr_runs(image_dir, tmp_path):
     timings = enhance_batch_images(
         None, str(image_dir), str(tmp_path / "msr"), classical_mode="msr", batch_size=8
