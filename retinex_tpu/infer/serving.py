@@ -87,15 +87,20 @@ def export_classical(
     platforms: tuple[str, ...] | None = None,
     clip_limit: float = 2.0,
     tiles: int = 8,
+    hist_subsample: int = 1,
 ) -> bytes:
     """Serialize a no-net classical pipeline (ssr/msr/msrcr/clahe/clahe_luma)
     as a serving artifact: batch_u8 -> enhanced_u8, symbolic batch, portable
-    XLA path (no Pallas custom calls)."""
+    XLA path (no Pallas custom calls). hist_subsample is the clahe_luma
+    decimated-histogram knob (ignored by the other modes)."""
     from retinex_tpu.infer.enhance import _classical_enhance
 
     def fn(batch_u8):
         x = batch_u8.astype(jnp.float32) / 255.0
-        out = _classical_enhance(x, mode, use_pallas=False, clip_limit=clip_limit, tiles=tiles)
+        out = _classical_enhance(
+            x, mode, use_pallas=False, clip_limit=clip_limit, tiles=tiles,
+            hist_subsample=hist_subsample,
+        )
         return jnp.clip(jnp.floor(out * 255.0), 0, 255).astype(jnp.uint8)
 
     (b,) = jax_export.symbolic_shape("b")

@@ -112,3 +112,33 @@ def test_classical_artifact_matches_offline(mode, tmp_path):
     enh = np.asarray(served(img[None]))[0]
     offline = np.asarray(Image.open(out / "a_enhanced.png"))
     np.testing.assert_array_equal(enh, offline)
+
+
+def test_classical_artifact_luma_hist_subsample(tmp_path):
+    """clahe_luma exports carry the decimated-histogram knob; served bytes
+    equal the offline driver at the same s and differ from s=1."""
+    from PIL import Image
+
+    from retinex_tpu.infer.enhance import enhance_batch_images
+    from retinex_tpu.infer.serving import export_classical
+
+    rng = np.random.default_rng(7)
+    d = tmp_path / "in"
+    d.mkdir()
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    Image.fromarray(img).save(d / "a.png")
+    out = tmp_path / "offline"
+    enhance_batch_images(
+        None, str(d), str(out), classical_mode="clahe_luma", batch_size=1,
+        hist_subsample=2,
+    )
+
+    served = load_enhancer(
+        export_classical("clahe_luma", height=64, width=96, hist_subsample=2)
+    )
+    enh = np.asarray(served(img[None]))[0]
+    offline = np.asarray(Image.open(out / "a_enhanced.png"))
+    np.testing.assert_array_equal(enh, offline)
+
+    served_s1 = load_enhancer(export_classical("clahe_luma", height=64, width=96))
+    assert np.abs(np.asarray(served_s1(img[None]))[0].astype(int) - enh.astype(int)).max() > 0
