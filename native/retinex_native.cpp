@@ -381,30 +381,8 @@ int rtx_encode_png(const uint8_t* img, int h, int w, const char* path, int level
   return encode_png_file(path, img, h, w, level, filters, strategy) ? 1 : 0;
 }
 
-// Encode a batch of independently-sized HWC RGB uint8 images, threaded.
-// imgs/hs/ws/paths are parallel arrays. Returns the number of successes.
-int rtx_encode_png_batch(const uint8_t** imgs, const int* hs, const int* ws,
-                         const char** paths, int count, int level, int filters,
-                         int strategy, int num_threads) {
-  std::atomic<int> ok_count{0};
-  std::atomic<int> remaining{count};
-  std::mutex done_mu;
-  std::condition_variable done_cv;
-
-  ThreadPool* p = pool(std::max(num_threads, 1));
-  for (int i = 0; i < count; ++i) {
-    p->submit([&, i] {
-      if (encode_png_file(paths[i], imgs[i], hs[i], ws[i], level, filters, strategy))
-        ok_count.fetch_add(1);
-      if (remaining.fetch_sub(1) == 1) {
-        std::lock_guard<std::mutex> lk(done_mu);
-        done_cv.notify_all();
-      }
-    });
-  }
-  std::unique_lock<std::mutex> lk(done_mu);
-  done_cv.wait(lk, [&] { return remaining.load() == 0; });
-  return ok_count.load();
-}
+// (A batched threaded encoder was removed: ctypes releases the GIL during
+// rtx_encode_png, so the Python-side saver pool already runs N encodes
+// concurrently — one thread pool is enough.)
 
 }  // extern "C"

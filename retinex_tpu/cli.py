@@ -145,6 +145,8 @@ def run(config: Config):
                 config.output_dir,
                 max_size=config.max_size,
                 save_comparison=not config.no_comparison,
+                batch_size=config.batch_size,
+                num_workers=config.num_workers,
                 mesh=mesh,
             )
         raise FileNotFoundError(f"Input path does not exist: {config.input_path}")
@@ -183,6 +185,8 @@ def run(config: Config):
                 max_size=config.max_size,
                 classical_mode=config.classical_mode,
                 use_pallas=config.use_pallas_clahe,
+                batch_size=config.batch_size,
+                num_workers=config.num_workers,
                 mesh=mesh,
                 clip_limit=config.clahe_clip_limit,
                 tiles=config.clahe_tiles,
@@ -202,6 +206,7 @@ def run(config: Config):
             config.input_path,
             reference_dir=ref_dir,
             output_csv=os.path.join(config.output_dir, "metrics.csv"),
+            batch_size=config.batch_size,
             mesh=maybe_mesh(config.n_devices),
         )
 

@@ -62,18 +62,6 @@ def _load():
                 ctypes.c_int,
                 ctypes.c_int,
             ]
-            lib.rtx_encode_png_batch.restype = ctypes.c_int
-            lib.rtx_encode_png_batch.argtypes = [
-                ctypes.POINTER(ctypes.c_void_p),
-                ctypes.POINTER(ctypes.c_int),
-                ctypes.POINTER(ctypes.c_int),
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.c_int,
-                ctypes.c_int,
-                ctypes.c_int,
-                ctypes.c_int,
-                ctypes.c_int,
-            ]
             _lib = lib
         except Exception:
             _load_failed = True
@@ -186,22 +174,8 @@ def encode_png(img_u8: np.ndarray, path: str, level: int = PNG_LEVEL,
     )
 
 
-def encode_png_batch(images: list[np.ndarray], paths: list[str], level: int = PNG_LEVEL,
-                     filters: int = PNG_FILTER_SUB, strategy: int = PNG_STRATEGY_DEFLATE,
-                     num_threads: int = 8) -> int:
-    """Encode N independently-sized [H,W,3] uint8 arrays to PNG files on the
-    C++ thread pool (no GIL). Returns the number of successful writes;
-    raises RuntimeError if the native library is unavailable."""
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native loader not available (build native/ first)")
-    n = len(images)
-    images = [np.ascontiguousarray(im) for im in images]
-    for im in images:
-        if im.dtype != np.uint8 or im.ndim != 3 or im.shape[2] != 3:
-            raise ValueError(f"encode_png_batch needs [H,W,3] uint8, got {im.shape} {im.dtype}")
-    ptrs = (ctypes.c_void_p * n)(*[im.ctypes.data for im in images])
-    hs = (ctypes.c_int * n)(*[im.shape[0] for im in images])
-    ws = (ctypes.c_int * n)(*[im.shape[1] for im in images])
-    cpaths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    return lib.rtx_encode_png_batch(ptrs, hs, ws, cpaths, n, level, filters, strategy, num_threads)
+# NOTE: a batched rtx_encode_png_batch (C++-side thread pool) existed
+# briefly; it was removed because ctypes releases the GIL for the duration
+# of each rtx_encode_png call, so the drivers' Python ThreadPoolExecutor
+# already encodes N images concurrently — the second thread pool added
+# surface without a measurable win.

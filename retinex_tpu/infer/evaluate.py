@@ -56,18 +56,18 @@ def evaluate_directory(
 
     # Pair each file with its reference (same basename, same decoded size) so
     # buckets are homogeneous in (shape, has_ref) — one jit each.
-    def ref_for(path: str) -> str | None:
+    def ref_for(path: str, size: tuple[int, int]) -> str | None:
         if reference_dir is None:
             return None
         rp = os.path.join(reference_dir, os.path.basename(path))
-        if os.path.exists(rp) and _image_size(rp) == _image_size(path):
+        if os.path.exists(rp) and _image_size(rp) == size:
             return rp
         return None
 
     buckets: dict[tuple[int, int, bool], list[tuple[str, str | None]]] = {}
     for path in files:
         h, w = _image_size(path)
-        rp = ref_for(path)
+        rp = ref_for(path, (h, w))
         buckets.setdefault((h, w, rp is not None), []).append((path, rp))
 
     @functools.lru_cache(maxsize=16)

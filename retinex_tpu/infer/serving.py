@@ -55,6 +55,20 @@ def make_serving_fn(model, variables, pipeline: str = "enhance"):
     return fn
 
 
+def _export_u8_fn(fn, height, width, path, platforms) -> bytes:
+    """Shared export tail: jit + symbolic-batch uint8 NHWC spec + serialize
+    (+ optional file write). One definition so the net and classical
+    exporters cannot drift."""
+    (b,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, height, width, 3), jnp.uint8)
+    exp = jax_export.export(jax.jit(fn), platforms=platforms)(spec)
+    blob = exp.serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
 def export_enhancer(
     model,
     variables,
@@ -69,14 +83,7 @@ def export_enhancer(
     Returns the serialized bytes (also written to `path` when given).
     """
     fn = make_serving_fn(model, variables, pipeline=pipeline)
-    (b,) = jax_export.symbolic_shape("b")
-    spec = jax.ShapeDtypeStruct((b, height, width, 3), jnp.uint8)
-    exp = jax_export.export(jax.jit(fn), platforms=platforms)(spec)
-    blob = exp.serialize()
-    if path is not None:
-        with open(path, "wb") as f:
-            f.write(blob)
-    return blob
+    return _export_u8_fn(fn, height, width, path, platforms)
 
 
 def export_classical(
@@ -103,14 +110,7 @@ def export_classical(
         )
         return jnp.clip(jnp.floor(out * 255.0), 0, 255).astype(jnp.uint8)
 
-    (b,) = jax_export.symbolic_shape("b")
-    spec = jax.ShapeDtypeStruct((b, height, width, 3), jnp.uint8)
-    exp = jax_export.export(jax.jit(fn), platforms=platforms)(spec)
-    blob = exp.serialize()
-    if path is not None:
-        with open(path, "wb") as f:
-            f.write(blob)
-    return blob
+    return _export_u8_fn(fn, height, width, path, platforms)
 
 
 def load_enhancer(path_or_bytes):

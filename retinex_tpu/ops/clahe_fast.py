@@ -86,6 +86,8 @@ def clahe_u8_fast(
     parity for ~4x/16x less histogram work; s=1 is the exact default. On
     shapes that are not cell-divisible the exact clahe_u8 fallback runs and
     the knob is ignored (exact histograms are strictly higher fidelity)."""
+    if hist_subsample < 1:
+        raise ValueError(f"hist_subsample must be >= 1, got {hist_subsample}")
     squeeze = img_u8.ndim == 2
     if squeeze:
         img_u8 = img_u8[None]

@@ -310,6 +310,8 @@ def clahe_luma_rgb_u8_planar(
     b, _, h, w = xp_u8.shape
     if not gather_supported(h, w, tiles_y, tiles_x):
         raise ValueError(f"shape {(h, w)} unsupported by the gather kernel")
+    if hist_subsample < 1:
+        raise ValueError(f"hist_subsample must be >= 1, got {hist_subsample}")
     ncy, ncx = 2 * tiles_y, 2 * tiles_x
     hh, hw = h // ncy, w // ncx
     rows = hh * ncx

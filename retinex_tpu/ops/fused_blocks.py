@@ -51,6 +51,14 @@ def _round8(n: int) -> int:
     return -(-n // 8) * 8
 
 
+# Multi-stage in-kernel chains (dec1_chain, fam_conv_fused) hold two
+# stages' halos in VMEM, so their width tiles cap below the single-stage
+# kernels' 256. One constant shared by each kernel AND its *_supported
+# gate — a round-2 advisor finding was a gate/kernel bw_max mismatch that
+# crashed with bw=None on widths only the larger cap accepted.
+CHAIN_BW_MAX = 192
+
+
 def _pick_tiles(h: int, w: int, bw_max: int = 256):
     bh = next((d for d in (8, 16, 4, 2) if h % d == 0), None)
     bw = next(
@@ -123,11 +131,11 @@ def fam_dual_supported(x_shape) -> bool:
 
 
 def dec1_chain_supported(x_shape) -> bool:
-    """Mirror dec1_chain's own tile pick (bw_max=192): widths divisible by
+    """Mirror dec1_chain's own tile pick (bw_max=CHAIN_BW_MAX): widths divisible by
     224/240/256 but none of {192,...,64} pass fam_dual_supported yet crash
     dec1_chain with bw=None."""
     _, h, w, _ = x_shape
-    bh, bw = _pick_tiles(h, w, bw_max=192)
+    bh, bw = _pick_tiles(h, w, bw_max=CHAIN_BW_MAX)
     return bh is not None and bw is not None
 
 
@@ -242,7 +250,7 @@ def dec1_chain(d2, x1p, k_up, b_up, k_c1, b_c1, k_c2, b_c2, k_rc, b_rc,
     [3,3,128,128]; biases f32. Returns r: [B,H,W,128].
     """
     b, h, w, cin0 = d2.shape
-    bh, bw = _pick_tiles(h, w, bw_max=192)
+    bh, bw = _pick_tiles(h, w, bw_max=CHAIN_BW_MAX)
     sw = _round8(bw + 6)
     wp = (w // bw - 1) * bw + sw
     # Mosaic DMA slices need the minor dim 128-tile aligned: pad the 64-ch
@@ -458,7 +466,7 @@ def fam_conv_supported(x_shape) -> bool:
     _, h, w, c = x_shape
     if c != 128:
         return False
-    bh, bw = _pick_tiles(h, w, bw_max=192)
+    bh, bw = _pick_tiles(h, w, bw_max=CHAIN_BW_MAX)
     return bh is not None and bw is not None
 
 
@@ -469,7 +477,7 @@ def fam_conv_fused(x, ka, kb, k1, b1, k32, k42, bias_total, interpret: bool = Fa
     caller (models/packed_inference._fam_packed). x: [B,H,W,128] >= 0.
     """
     b, h, w, cin = x.shape
-    bh, bw = _pick_tiles(h, w, bw_max=192)
+    bh, bw = _pick_tiles(h, w, bw_max=CHAIN_BW_MAX)
     sw = _round8(bw + 4)
     wp = (w // bw - 1) * bw + sw
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, wp - w - 2), (0, 0)))

@@ -80,8 +80,12 @@ def test_encode_png_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, img)
 
 
-def test_encode_png_batch_mixed_sizes(tmp_path):
-    from retinex_tpu.data.native_loader import encode_png_batch
+def test_encode_png_concurrent_mixed_sizes(tmp_path):
+    # The production save path: N independently-sized per-image encodes on a
+    # Python thread pool (ctypes releases the GIL during rtx_encode_png).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from retinex_tpu.data.native_loader import encode_png
 
     rng = np.random.default_rng(6)
     images = [
@@ -89,7 +93,8 @@ def test_encode_png_batch_mixed_sizes(tmp_path):
         for h, w in [(40, 60), (100, 30), (64, 64), (33, 129)]
     ]
     paths = [str(tmp_path / f"b{i}.png") for i in range(len(images))]
-    assert encode_png_batch(images, paths, num_threads=4) == len(images)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        assert all(pool.map(encode_png, images, paths))
     for img, p in zip(images, paths):
         np.testing.assert_array_equal(np.asarray(Image.open(p).convert("RGB")), img)
 

@@ -45,10 +45,13 @@ def _train_cmd(train_dir, save_dir, resume=None):
     return [sys.executable, "-c", code], env
 
 
-def _read_until(proc, predicate, timeout_s):
-    """Read subprocess stdout lines on a thread until predicate(line) or
-    timeout — a plain `for line in proc.stdout` would hang the suite if the
-    child goes silent without exiting."""
+def _line_reader(proc):
+    """ONE pump thread per process feeding one queue; returns a read_until
+    callable. (Spawning a pump per read — the original shape — left the
+    first, abandoned pump racing the second for proc.stdout lines, so the
+    preemption banner could vanish into the dead queue. A plain
+    `for line in proc.stdout` would instead hang the suite if the child
+    goes silent without exiting.)"""
     import queue
     import threading
 
@@ -60,19 +63,23 @@ def _read_until(proc, predicate, timeout_s):
         q.put(None)
 
     threading.Thread(target=pump, daemon=True).start()
-    lines = []
-    deadline = time.time() + timeout_s
-    while time.time() < deadline:
-        try:
-            line = q.get(timeout=5)
-        except queue.Empty:
-            continue
-        if line is None:
-            return lines, False
-        lines.append(line)
-        if predicate(line):
-            return lines, True
-    return lines, False
+
+    def read_until(predicate, timeout_s):
+        lines = []
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            try:
+                line = q.get(timeout=5)
+            except queue.Empty:
+                continue
+            if line is None:
+                return lines, False
+            lines.append(line)
+            if predicate(line):
+                return lines, True
+        return lines, False
+
+    return read_until
 
 
 def test_sigterm_checkpoints_and_exits(train_dir, tmp_path):
@@ -83,12 +90,13 @@ def test_sigterm_checkpoints_and_exits(train_dir, tmp_path):
     )
     # Wait for the first epoch to complete (its checkpoint proves the loop is
     # past compilation), then preempt.
-    lines, saw_epoch = _read_until(proc, lambda l: l.startswith("Epoch 0:"), 600)
+    read_until = _line_reader(proc)
+    lines, saw_epoch = read_until(lambda l: l.startswith("Epoch 0:"), 600)
     if not saw_epoch:
         proc.kill()
         pytest.fail("training never reached epoch 0:\n" + "".join(lines))
     proc.send_signal(signal.SIGTERM)
-    more, _ = _read_until(proc, lambda l: False, 300)
+    more, _ = read_until(lambda l: False, 300)
     out = "".join(more)
     ret = proc.wait(timeout=300)
     assert ret == 0, f"exit {ret}\n{''.join(lines)}{out}"
@@ -100,12 +108,13 @@ def test_sigterm_checkpoints_and_exits(train_dir, tmp_path):
     proc2 = subprocess.Popen(
         cmd2, env=env2, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
     )
-    lines2, saw_resume = _read_until(proc2, lambda l: l.startswith("Resumed from"), 600)
+    read_until2 = _line_reader(proc2)
+    lines2, saw_resume = read_until2(lambda l: l.startswith("Resumed from"), 600)
     if not saw_resume:
         proc2.kill()
         pytest.fail("resume run never printed 'Resumed from':\n" + "".join(lines2))
     proc2.send_signal(signal.SIGTERM)
-    more2, _ = _read_until(proc2, lambda l: False, 300)
+    more2, _ = read_until2(lambda l: False, 300)
     out2 = "".join(more2)
     ret2 = proc2.wait(timeout=300)
     assert ret2 == 0, f"exit {ret2}\n{''.join(lines2)}{out2}"
