@@ -453,7 +453,7 @@ def _fwd_stage(rgb6: jnp.ndarray, interpret: bool = False, poly: bool = False) -
     dg_tab = dg_vals.reshape(2, 128)
 
     fastmath = not interpret  # exact transcendental math under the interpreter
-    nb = _pick_bands(ncy)
+    nb = _pick_bands(ncy, hh * ncx * hw)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, hh, hw, fastmath, nb, poly=poly),
         grid=(b, ncy // nb),
@@ -475,12 +475,25 @@ def _fwd_stage(rgb6: jnp.ndarray, interpret: bool = False, poly: bool = False) -
     )(rgb6, dg_tab)
 
 
-def _pick_bands(ncy: int) -> int:
+# Elements per (band, channel) the v5e 16 MB scoped VMEM is PROVEN to hold
+# at nb=4: the 1080p tiles=8 block (hh*ncx*hw = 68*16*120) * 4 bands. nb=8
+# at 1080p measured 784 KB over, and 4K tiles=16 at nb=4 (2x this budget)
+# OOMs the AOT compiler outright — the footprint scales with nb * band.
+_VMEM_BAND_BUDGET = 4 * 68 * 16 * 120
+
+
+def _pick_bands(ncy: int, band_elems: int | None = None) -> int:
     """Half-tile-row bands per kernel program. Even counts keep the apply
-    kernel's cell-y parity static per unrolled band; nb=4 at 1080p keeps each
-    program's in+out blocks + unrolled f32 temporaries inside the v5e 16 MB
-    scoped VMEM (nb=8 measured 784 KB over)."""
-    return next((d for d in (4, 2, 1) if ncy % d == 0), 1)
+    kernel's cell-y parity static per unrolled band; the band count scales
+    DOWN with the per-band block size (band_elems = hh*ncx*hw, one channel)
+    so big frames (4K needs tiles=16 -> rows = hh*32) stay inside scoped
+    VMEM instead of OOMing at the 1080p-tuned nb=4."""
+    if band_elems is None:
+        band_elems = _VMEM_BAND_BUDGET // 4  # legacy callers: 1080p-class
+    return next(
+        (d for d in (4, 2, 1) if ncy % d == 0 and d * band_elems <= _VMEM_BAND_BUDGET),
+        1,
+    )
 
 
 def _tables_stage(
@@ -559,7 +572,7 @@ def _apply_stage(
     u8 Lab + packed lane tables -> [b, 3, ncy, hh, ncx, hw] u8 RGB."""
     _, b, ncy, hh, ncx, hw = lab6.shape
     fastmath = not interpret
-    nb = _pick_bands(ncy)
+    nb = _pick_bands(ncy, hh * ncx * hw)
     wx = _blend_weights(hw)  # [2, hw] f32
     wy = _blend_weights(hh)  # [2, hh] f32
     xa_tab = jnp.asarray(wx[np.arange(ncx) % 2])  # [ncx, hw]
@@ -716,7 +729,7 @@ def _fwd_stage5(rgb5: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     dg_vals = srgb_to_linear(jnp.arange(HIST_SIZE, dtype=jnp.float32) / 255.0)
     dg_tab = dg_vals.reshape(2, 128)
     fastmath = not interpret
-    nb = _pick_bands(ncy)
+    nb = _pick_bands(ncy, rows * hw)
     return pl.pallas_call(
         functools.partial(_fwd_kernel5, nb, fastmath),
         grid=(b, ncy // nb),
@@ -745,7 +758,7 @@ def _apply_stage5(
     _, b, ncy, rows, hw = lab5.shape
     hh = rows // ncx
     fastmath = not interpret
-    nb = _pick_bands(ncy)
+    nb = _pick_bands(ncy, rows * hw)
     wx = _blend_weights(hw)  # [2, hw]
     wy = _blend_weights(hh)  # [2, hh]
     # Pre-expanded blend weights: [rows, hw] and [rows, 2] (one 0.5 MB

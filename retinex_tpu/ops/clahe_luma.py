@@ -184,7 +184,7 @@ def _apply_luma_stage5_fused(
     (luma recomputed in-kernel; no y operand)."""
     b, _, ncy, rows, hw = rgb5.shape
     hh = rows // ncx
-    nb = _pick_bands(ncy)
+    nb = _pick_bands(ncy, rows * hw)
     wx = _blend_weights(hw)  # [2, hw]
     wy = _blend_weights(hh)  # [2, hh]
     xa_full = jnp.asarray(
@@ -232,7 +232,7 @@ def _apply_luma_stage5(
     -> [b, 3, ncy, rows, hw] u8."""
     b, _, ncy, rows, hw = rgb5.shape
     hh = rows // ncx
-    nb = _pick_bands(ncy)
+    nb = _pick_bands(ncy, rows * hw)
     wx = _blend_weights(hw)  # [2, hw]
     wy = _blend_weights(hh)  # [2, hh]
     xa_full = jnp.asarray(

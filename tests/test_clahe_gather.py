@@ -51,6 +51,52 @@ def test_u8_and_f32_entry_points_agree(img):
     assert out_u8.shape == SHAPE
 
 
+def test_pick_bands_vmem_budget():
+    """Band count scales down with the per-band block so big frames stay
+    inside the v5e 16 MB scoped VMEM: 4K tiles=16 (rows=68*32) at the
+    1080p-tuned nb=4 OOM'd the AOT compiler (19.03M vs 16M, measured)."""
+    from retinex_tpu.ops.clahe_gather import _pick_bands
+
+    assert _pick_bands(16, 68 * 16 * 120) == 4  # 1080p tiles=8: proven point
+    assert _pick_bands(32, 68 * 32 * 120) == 2  # 4K tiles=16: halve the bands
+    assert _pick_bands(32, 4 * 68 * 16 * 120) == 1  # giant band: no unrolling
+    assert _pick_bands(2, 68 * 16 * 120) == 2  # ncy divisibility still binds
+
+
+def test_band_counts_are_value_invariant(img, monkeypatch):
+    """nb=2 / nb=1 band blocking (what big frames now pick under the VMEM
+    budget) must produce byte-identical output to the tuned nb=4 path — the
+    band count is a layout knob, not a math one. Forced via the budget
+    constant; jit caches cleared so each trace re-reads it."""
+    import retinex_tpu.ops.clahe_gather as cg
+    import retinex_tpu.ops.clahe_luma as cl
+
+    u8 = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8)
+    xp = jnp.transpose(u8, (0, 3, 1, 2))
+    band = (SHAPE[1] // 16) * 16 * (SHAPE[2] // 16)  # hh * ncx * hw
+
+    def run_all():
+        cg.clahe_rgb_u8_planar_gather5.clear_cache()
+        cg.clahe_rgb_u8_planar_gather6.clear_cache()
+        cl.clahe_luma_rgb_u8_planar.clear_cache()
+        return (
+            np.asarray(cg.clahe_rgb_u8_planar_gather5(xp, interpret=True)),
+            np.asarray(cg.clahe_rgb_u8_planar_gather6(xp, interpret=True)),
+            np.asarray(cl.clahe_luma_rgb_u8_planar(xp, interpret=True)),
+        )
+
+    assert cg._pick_bands(16, band) == 4
+    base = run_all()
+    for budget, want_nb in ((2 * band, 2), (band, 1)):
+        monkeypatch.setattr(cg, "_VMEM_BAND_BUDGET", budget)
+        assert cg._pick_bands(16, band) == want_nb
+        got = run_all()
+        for b, g in zip(base, got):
+            np.testing.assert_array_equal(b, g)
+    monkeypatch.undo()
+    run_all()  # leave the caches retraced at the real budget
+
+
 def test_planar5_matches_planar6(img):
     # The 5D row-merged core is the production planar entry (round 3); it
     # must be bit-identical to the 6D cell-blocked core it replaced.
