@@ -197,7 +197,10 @@ def _classical_enhance(
         # enhancer — the BASELINE throughput configuration).
         from retinex_tpu.ops.clahe import clahe_lab_rgb
 
-        return clahe_lab_rgb(x, clip_limit=clip_limit, tiles=tiles, use_pallas=use_pallas)
+        return clahe_lab_rgb(
+            x, clip_limit=clip_limit, tiles=tiles, use_pallas=use_pallas,
+            hist_subsample=hist_subsample,
+        )
     if classical_mode == "clahe_luma":
         # Fast luma-gain CLAHE (ops/clahe_luma.py): reduced-parity mode past
         # the Lab pipeline's speed-of-light (BENCH_NOTES.md round-3 SOL).

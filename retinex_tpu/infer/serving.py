@@ -98,8 +98,8 @@ def export_classical(
 ) -> bytes:
     """Serialize a no-net classical pipeline (ssr/msr/msrcr/clahe/clahe_luma)
     as a serving artifact: batch_u8 -> enhanced_u8, symbolic batch, portable
-    XLA path (no Pallas custom calls). hist_subsample is the clahe_luma
-    decimated-histogram knob (ignored by the other modes)."""
+    XLA path (no Pallas custom calls). hist_subsample is the decimated-
+    histogram knob for clahe/clahe_luma (ignored by ssr/msr/msrcr)."""
     from retinex_tpu.infer.enhance import _classical_enhance
 
     def fn(batch_u8):

@@ -148,6 +148,7 @@ def clahe_lab_rgb(
     clip_limit: float = 2.0,
     tiles: int = 8,
     use_pallas: bool | None = None,
+    hist_subsample: int = 1,
 ) -> jnp.ndarray:
     """The reference's full Lab-CLAHE pipeline as one fused graph.
 
@@ -160,6 +161,13 @@ def clahe_lab_rgb(
     on TPU with a supported shape, falling back to XLA otherwise; False
     forces the XLA nibble-MXU path. The two agree within +-1/255 on ~1e-5 of
     pixels (FMA/pow lowering differences, PARITY.md).
+
+    hist_subsample=s builds the tile histograms from a within-cell s x s
+    decimation of the L plane (clip threshold + CDF scale follow the reduced
+    area; identical semantics on both the gather and XLA paths). A speed
+    knob — s=1 (default) is the exact OpenCV histogram; s=2 measured ~51 dB
+    PSNR vs exact on real photos for the luma mode's equivalent knob. On
+    non-cell-divisible shapes the exact fallback runs and the knob is ignored.
     """
     squeeze = x.ndim == 3
     if squeeze:
@@ -170,7 +178,10 @@ def clahe_lab_rgb(
         from retinex_tpu.ops.clahe_gather import clahe_lab_rgb_gather, gather_supported
 
         if gather_supported(x.shape[1], x.shape[2], tiles, tiles):
-            out = clahe_lab_rgb_gather(x, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles)
+            out = clahe_lab_rgb_gather(
+                x, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles,
+                hist_subsample=hist_subsample,
+            )
             return out[0] if squeeze else out
     xq = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
     # Quantize the whole Lab tensor to uint8 immediately: it has multiple
@@ -183,7 +194,10 @@ def clahe_lab_rgb(
     # non-cell-divisible shapes.
     from retinex_tpu.ops.clahe_fast import clahe_u8_fast
 
-    l_eq = clahe_u8_fast(l_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles)
+    l_eq = clahe_u8_fast(
+        l_u8, clip_limit=clip_limit, tiles_x=tiles, tiles_y=tiles,
+        hist_subsample=hist_subsample,
+    )
     # a/b channels pass through in uint8 exactly as cv2.split/merge does.
     lab_eq = jnp.stack(
         [

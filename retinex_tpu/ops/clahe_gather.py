@@ -378,7 +378,8 @@ def _hist_planar(l_u8: jnp.ndarray, tiles_y: int, tiles_x: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
+    jax.jit,
+    static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret", "hist_subsample"),
 )
 def clahe_rgb_u8_gather(
     x_u8: jnp.ndarray,
@@ -386,12 +387,18 @@ def clahe_rgb_u8_gather(
     tiles_x: int = 8,
     tiles_y: int = 8,
     interpret: bool = False,
+    hist_subsample: int = 1,
 ) -> jnp.ndarray:
     """uint8-native Lab-CLAHE pipeline (the production ingest path: decoded
     images are uint8; shipping u8 halves HBM traffic vs the float API).
 
     x_u8: uint8 NHWC (or HWC) RGB -> uint8 of the same shape. Requires
     `gather_supported` shapes (callers fall back to the XLA path otherwise).
+    `hist_subsample=s` estimates the tile histograms from a within-cell
+    s x s decimation of the L plane (same semantics as clahe_u8_fast's knob,
+    so the XLA fallback stays bit-comparable at every s) — the tables stage
+    is a shared dominant cost (BENCH_NOTES lumastages) and its histogram
+    half scales with pixels sampled. Exact default s=1.
     """
     squeeze = x_u8.ndim == 3
     if squeeze:
@@ -402,14 +409,16 @@ def clahe_rgb_u8_gather(
     # the 5D one — the transpose+row-merge reshape in front of the 5D core
     # lays out worse than the transpose+cell reshape in front of the 6D one.
     outp = clahe_rgb_u8_planar_gather6(
-        xp, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y, interpret=interpret
+        xp, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y,
+        interpret=interpret, hist_subsample=hist_subsample,
     )
     out = outp.transpose(0, 2, 3, 1)
     return out[0] if squeeze else out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
+    jax.jit,
+    static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret", "hist_subsample"),
 )
 def clahe_rgb_u8_planar_gather6(
     xp_u8: jnp.ndarray,
@@ -417,6 +426,7 @@ def clahe_rgb_u8_planar_gather6(
     tiles_x: int = 8,
     tiles_y: int = 8,
     interpret: bool = False,
+    hist_subsample: int = 1,
 ) -> jnp.ndarray:
     """Planar uint8 pipeline, 6D cell-blocked core: [B, 3, H, W] -> same.
 
@@ -429,14 +439,17 @@ def clahe_rgb_u8_planar_gather6(
     b, _, h, w = xp_u8.shape
     if not gather_supported(h, w, tiles_y, tiles_x):
         raise ValueError(f"shape {(h, w)} unsupported by the gather kernel")
+    if hist_subsample < 1:
+        raise ValueError(f"hist_subsample must be >= 1, got {hist_subsample}")
     ncy, ncx = 2 * tiles_y, 2 * tiles_x
     hh, hw = h // ncy, w // ncx
-    area = (2 * hh) * (2 * hw)
 
     rgb6 = xp_u8.reshape(b, 3, ncy, hh, ncx, hw)
     lab6 = _fwd_stage(rgb6, interpret)
     lab6 = jax.lax.optimization_barrier(lab6)
-    lane_luts = _tables_stage(lab6[0], clip_limit, tiles_y, tiles_x, area)
+    l_cells = lab6[0][:, :, ::hist_subsample, :, ::hist_subsample]
+    area = 4 * l_cells.shape[2] * l_cells.shape[4]  # == (2hh)(2hw) at s=1
+    lane_luts = _tables_stage(l_cells, clip_limit, tiles_y, tiles_x, area)
     rgbp = _apply_stage(lab6, lane_luts, interpret)
     return rgbp.reshape(b, 3, h, w)
 
@@ -798,7 +811,8 @@ def _apply_stage5(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
+    jax.jit,
+    static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret", "hist_subsample"),
 )
 def clahe_rgb_u8_planar_gather5(
     xp_u8: jnp.ndarray,
@@ -806,27 +820,33 @@ def clahe_rgb_u8_planar_gather5(
     tiles_x: int = 8,
     tiles_y: int = 8,
     interpret: bool = False,
+    hist_subsample: int = 1,
 ) -> jnp.ndarray:
     """5D-layout planar uint8 pipeline: [B, 3, H, W] -> [B, 3, H, W].
 
     The production planar entry (fastest path, round 3): same math as the
     6D core :func:`clahe_rgb_u8_planar_gather6`, but kernels stream
     [*, rows, hw] blocks (see `_fwd_kernel5` for why) — 3.86 vs 4.82
-    ms/batch-8 interleaved on v5e (perf_lab layout5b)."""
+    ms/batch-8 interleaved on v5e (perf_lab layout5b). `hist_subsample`:
+    see :func:`clahe_rgb_u8_gather`."""
     b, _, h, w = xp_u8.shape
     if not gather_supported(h, w, tiles_y, tiles_x):
         raise ValueError(f"shape {(h, w)} unsupported by the gather kernel")
+    if hist_subsample < 1:
+        raise ValueError(f"hist_subsample must be >= 1, got {hist_subsample}")
     ncy, ncx = 2 * tiles_y, 2 * tiles_x
     hh, hw = h // ncy, w // ncx
     rows = hh * ncx
-    area = (2 * hh) * (2 * hw)
 
     rgb5 = xp_u8.reshape(b, 3, ncy, rows, hw)
     lab5 = _fwd_stage5(rgb5, interpret)
     lab5 = jax.lax.optimization_barrier(lab5)
     # L plane only into cell form (reshaping the full Lab tensor to 6D for
     # the tables stage measured ~1 ms/batch of pure relayout copy).
-    l_cells = lab5[0].reshape(b, ncy, hh, ncx, hw)
+    l_cells = lab5[0].reshape(b, ncy, hh, ncx, hw)[
+        :, :, ::hist_subsample, :, ::hist_subsample
+    ]
+    area = 4 * l_cells.shape[2] * l_cells.shape[4]  # == (2hh)(2hw) at s=1
     lane_luts = _tables_stage(l_cells, clip_limit, tiles_y, tiles_x, area)
     rgbp = _apply_stage5(lab5, lane_luts, ncx, interpret)
     return rgbp.reshape(b, 3, h, w)
@@ -838,7 +858,8 @@ clahe_rgb_u8_planar_gather = clahe_rgb_u8_planar_gather5
 
 
 @functools.partial(
-    jax.jit, static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret")
+    jax.jit,
+    static_argnames=("clip_limit", "tiles_x", "tiles_y", "interpret", "hist_subsample"),
 )
 def clahe_lab_rgb_gather(
     x: jnp.ndarray,
@@ -846,6 +867,7 @@ def clahe_lab_rgb_gather(
     tiles_x: int = 8,
     tiles_y: int = 8,
     interpret: bool = False,
+    hist_subsample: int = 1,
 ) -> jnp.ndarray:
     """Float wrapper over the planar u8 core (drop-in for
     ops/clahe.clahe_lab_rgb on supported shapes). x: float [0,1] NHWC/HWC.
@@ -862,7 +884,8 @@ def clahe_lab_rgb_gather(
     xp = x.transpose(0, 3, 1, 2)
     xq = jnp.clip(jnp.round(jnp.clip(xp, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
     outp = clahe_rgb_u8_planar_gather5(
-        xq, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y, interpret=interpret
+        xq, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y,
+        interpret=interpret, hist_subsample=hist_subsample,
     )
     out = (outp.astype(jnp.float32) / 255.0).transpose(0, 2, 3, 1)
     return out[0] if squeeze else out

@@ -42,6 +42,22 @@ def test_matches_xla_path(img):
     assert (d > 0.5).mean() < 1e-3, f"mismatch fraction {(d > 0.5).mean()}"
 
 
+@pytest.mark.parametrize("s", [2, 4])
+def test_hist_subsample_matches_xla_path(img, s):
+    """The Lab pipeline's decimated-histogram knob keeps gather/XLA agreement:
+    both paths build tile histograms from the same within-cell s x s
+    decimation (clahe_fast.py:115 vs clahe_gather.py l_cells slice), so the
+    parity budget is the same as at s=1. Also asserts s>1 actually changes
+    the output (the knob reaches the tables stage, not a dead kwarg)."""
+    want = np.asarray(clahe_lab_rgb(img, use_pallas=False, hist_subsample=s))
+    got = np.asarray(clahe_lab_rgb_gather(img, interpret=True, hist_subsample=s))
+    d = np.abs(want - got) * 255.0
+    assert d.max() <= 2.0, f"max diff {d.max()} levels"
+    assert (d > 0.5).mean() < 1e-3, f"mismatch fraction {(d > 0.5).mean()}"
+    exact = np.asarray(clahe_lab_rgb_gather(img, interpret=True))
+    assert np.abs(got - exact).max() > 0, "s>1 must alter the histograms"
+
+
 def test_u8_and_f32_entry_points_agree(img):
     u8 = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8)
     out_u8 = np.asarray(clahe_rgb_u8_gather(u8, interpret=True))
