@@ -2214,6 +2214,55 @@ def run_lumasub():
         )
 
 
+@exp("labsub")
+def run_labsub():
+    """Decimated-histogram knob for the exact-Lab pipeline (hist_subsample
+    threaded through clahe_rgb_u8_planar_gather5 / clahe_lab_rgb): on-chip
+    parity vs the XLA path at each s first, then interleaved s=1/2/4 planar
+    u8 and s=1/2 f32 A/Bs. The Lab tables stage is ~1.5 ms of the ~3.9 ms
+    planar batch and its histogram half scales with sampled pixels."""
+    from retinex_tpu.ops.clahe import clahe_lab_rgb
+    from retinex_tpu.ops.clahe_gather import (
+        clahe_lab_rgb_gather,
+        clahe_rgb_u8_planar_gather5,
+    )
+
+    B = 8
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32) * 0.7)
+    for s in (2, 4):
+        want = np.asarray(clahe_lab_rgb(img, use_pallas=False, hist_subsample=s))
+        got = np.asarray(clahe_lab_rgb_gather(img, hist_subsample=s))
+        d = np.abs(want - got) * 255.0
+        print(
+            f"s={s} on-chip Lab parity vs XLA path: maxd {d.max():.2f} "
+            f"frac>0.5 {(d > 0.5).mean():.2e}",
+            flush=True,
+        )
+        assert d.max() <= 2.0, f"s={s} gather diverges from the XLA path on-chip"
+
+    xs_u8 = [
+        jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+    xs_f32 = make_inputs(batch=B)
+    for rep in range(3):
+        for s in (1, 2, 4):
+            measure(
+                f"[{rep}] lab planar u8 s={s}",
+                jax.jit(
+                    functools.partial(clahe_rgb_u8_planar_gather5, hist_subsample=s)
+                ),
+                xs_u8,
+            )
+        for s in (1, 2):
+            measure(
+                f"[{rep}] lab f32 s={s}",
+                jax.jit(functools.partial(clahe_lab_rgb_gather, hist_subsample=s)),
+                xs_f32,
+            )
+
+
 @exp("bigframe")
 def run_bigframe():
     """4K (2176x3840 letterboxed) classical throughput + the s=8 tail of the
