@@ -27,9 +27,11 @@ Architecture (v3 — no cellize: XLA relayout glue measured 6 ms/batch in v1):
   table computation into the kernels' schedules.
 
 Bit-compatible with ops/clahe_fast.clahe_u8_fast up to FMA formation (rare
-+-1 at exact .5 blend ties) and the fast-cbrt quantization-tie flips
-(+-1 Lab level on ~1% of pixels, PARITY.md #19); the XLA path itself sits
-within +-1 of cv2's fixed-point pipeline (tests/test_clahe.py).
++-1 at exact .5 blend ties) and the apply kernel's gamma-poly rounding ties
+(~1.3e-3 of pixels on adversarial random dark images, far fewer on photos;
+the 3-step `_fast_cbrt` makes the forward Lab math tie-free — PARITY.md
+#19); the XLA path itself sits within +-1 of cv2's fixed-point pipeline
+(tests/test_clahe.py).
 
 Reference behavior reproduced: enhancers/adaptive_params.py:121-169
 (cv2 Lab CLAHE on the L channel, clip 2.0, 8x8 tiles).
@@ -161,20 +163,24 @@ def _degamma_poly(v):
 
 
 def _fast_cbrt(x):
-    """x**(1/3) for x > 0 without pow: bit-trick seed + 2 division-free
+    """x**(1/3) for x > 0 without pow: bit-trick seed + 3 division-free
     Newton steps on z ~ x**(-1/3) (z' = z(4 - x z^3)/3), then cbrt = x z^2.
 
     Mosaic lowers pow as exp(log(x)*y) — two multi-pass transcendentals per
-    element; this is ~14 mul/adds. Max rel err 2.3e-5 over the Lab/sRGB input
-    ranges = <0.01 of an 8-bit output level (verified vs float64 cbrt), far
-    inside the pipeline's +-1 level parity budget.
+    element; this is ~20 mul/adds. Three steps drive the rel err from the
+    2-step 2.3e-5 to ~1e-9 over the Lab/sRGB input ranges, eliminating the
+    forward pipeline's +-1 Lab quantization-tie flips: gather-vs-XLA
+    frac>0.5 on an adversarial random dark 1080p image drops 5.0e-3 ->
+    1.3e-3 (maxd 12 -> 6; the residue is the apply kernel's gamma-poly
+    rounding ties) for ~1.5% full-pipeline cost, inside measurement noise
+    (perf_lab `cbrt3`, v5e, round 3).
     """
     xi = jax.lax.bitcast_convert_type(x, jnp.int32)
     # xi // 3 via float multiply (exact trunc unnecessary: Newton absorbs
     # seed perturbations; integer div lowers poorly on the VPU).
     third = (xi.astype(jnp.float32) * (1.0 / 3.0)).astype(jnp.int32)
     z = jax.lax.bitcast_convert_type(jnp.int32(0x54A232A3) - third, jnp.float32)
-    for _ in range(2):
+    for _ in range(3):
         z = z * (4.0 - x * z * z * z) * (1.0 / 3.0)
     return x * z * z
 

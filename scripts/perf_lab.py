@@ -2230,16 +2230,30 @@ def run_labsub():
     B = 8
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32) * 0.7)
-    for s in (2, 4):
+    # Parity is judged RELATIVE to the s=1 gather-vs-XLA diff on the same
+    # image: the fastmath fwd kernel's cbrt tie flips (+-1 L on ~8e-4 of
+    # pixels of this adversarial random dark image) blow up to ~12 RGB
+    # levels through the dark-end gamma slope at EVERY s — an absolute
+    # maxd<=2 bar here just re-measures PARITY.md #19, not the knob. The
+    # knob's own plumbing (decimated hist -> tables) was verified exact
+    # on-chip (hist bit-match vs numpy bincount of the same kernel L).
+    base = None
+    for s in (1, 2, 4):
         want = np.asarray(clahe_lab_rgb(img, use_pallas=False, hist_subsample=s))
         got = np.asarray(clahe_lab_rgb_gather(img, hist_subsample=s))
         d = np.abs(want - got) * 255.0
+        frac = (d > 0.5).mean()
         print(
             f"s={s} on-chip Lab parity vs XLA path: maxd {d.max():.2f} "
-            f"frac>0.5 {(d > 0.5).mean():.2e}",
+            f"frac>0.5 {frac:.2e}",
             flush=True,
         )
-        assert d.max() <= 2.0, f"s={s} gather diverges from the XLA path on-chip"
+        if s == 1:
+            base = (d.max(), frac)
+        else:
+            assert d.max() <= base[0] + 2.0 and frac <= 5.0 * base[1] + 1e-4, (
+                f"s={s} diverges beyond the s=1 fastmath budget {base}"
+            )
 
     xs_u8 = [
         jnp.asarray(rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8))
@@ -2261,6 +2275,60 @@ def run_labsub():
                 jax.jit(functools.partial(clahe_lab_rgb_gather, hist_subsample=s)),
                 xs_f32,
             )
+
+
+@exp("cbrt3")
+def run_cbrt3():
+    """Third Newton step in the fwd kernel's `_fast_cbrt`: rel err drops
+    ~2.3e-5 -> ~1e-9, killing the +-1 L quantization-tie flips (PARITY.md
+    #19) — on an adversarial random dark image those amplify to ~12 RGB
+    levels on 5e-3 of pixels through the dark-end gamma slope. Measures (a)
+    gather-vs-XLA parity at 2 vs 3 iters and (b) the full-graph planar-u8
+    cost, interleaved. Estimated cost: ~18 extra VPU slots/px in fwd
+    (~0.2 ms/batch-8 at the measured 0.66 ps/slot)."""
+    from retinex_tpu.ops import clahe_gather as cg
+    from retinex_tpu.ops.clahe import clahe_lab_rgb
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32) * 0.7)
+    want = np.asarray(clahe_lab_rgb(img, use_pallas=False))
+
+    orig = cg._fast_cbrt
+
+    def cbrt3(x):
+        xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+        third = (xi.astype(jnp.float32) * (1.0 / 3.0)).astype(jnp.int32)
+        z = jax.lax.bitcast_convert_type(jnp.int32(0x54A232A3) - third, jnp.float32)
+        for _ in range(3):
+            z = z * (4.0 - x * z * z * z) * (1.0 / 3.0)
+        return x * z * z
+
+    variants = (("iters=2", orig), ("iters=3", cbrt3))
+
+    def activate(fn):
+        cg._fast_cbrt = fn
+        cg.clahe_rgb_u8_planar_gather5.clear_cache()
+        cg.clahe_lab_rgb_gather.clear_cache()
+
+    try:
+        for name, fn in variants:
+            activate(fn)
+            got = np.asarray(cg.clahe_lab_rgb_gather(img))
+            d = np.abs(want - got) * 255.0
+            print(
+                f"{name}: vs XLA maxd {d.max():.2f} frac>0.5 {(d > 0.5).mean():.2e}",
+                flush=True,
+            )
+        xs_pl = [
+            jnp.asarray(rng.integers(0, 256, (8, 3, H, W), dtype=np.uint8))
+            for _ in range(4)
+        ]
+        for rep in range(3):
+            for name, fn in variants:
+                activate(fn)
+                measure(f"[{rep}] planar u8 {name}", cg.clahe_rgb_u8_planar_gather5, xs_pl)
+    finally:
+        activate(orig)
 
 
 @exp("bigframe")
