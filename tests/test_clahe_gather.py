@@ -159,7 +159,10 @@ def test_fast_cbrt_accuracy():
     got = np.asarray(_fast_cbrt(t))
     ref = np.cbrt(np.asarray(t, np.float64))
     rel = np.abs(got - ref) / ref
-    assert rel.max() < 5e-5, rel.max()
+    # 3 Newton steps (round 3): ~1e-9 rel in exact arithmetic; the f32
+    # evaluation floor (~1 ulp) dominates. The tight bound guards the
+    # forward Lab math's tie-free-ness (PARITY #19, perf_lab cbrt3).
+    assert rel.max() < 5e-7, rel.max()
     # gamma route: x**(1/2.4) == cbrt(x) * sqrt(sqrt(cbrt(x)))
     x64 = np.asarray(t, np.float64)
     g = got * np.sqrt(np.sqrt(got))
