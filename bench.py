@@ -2,19 +2,30 @@
 """Benchmark: every hot path, one JSON line per metric (headline printed last).
 
 Paths measured (all on the attached chip):
-- train step/s (preact+ASPP model, 7 losses, 256x256 batch 4)
-- net 1080p inference, standard and space-to-depth packed (bf16, batch 2)
-- classical enhance 1080p, uint8 ingest (the production path) and float32
-  (the headline, comparable with BENCH_r01) — the fused
-  RGB->Lab->CLAHE(L)->RGB pipeline the reference runs per-image through
-  OpenCV on CPU (reference: enhancers/adaptive_params.py:121-169). Frames are
-  1920x1088 (1080p letterboxed to /32, reference utils/letterbox.py:45).
+- train step/s (preact+ASPP model, 7 losses) at 256px b4 and the reference
+  default 640px (reference main.py:48), standard and s2d-packed, f32 + bf16,
+  with a whole-step MFU estimate.
+- net 1080p inference: standard and space-to-depth packed (bf16) throughput
+  at b2/b8/b16, plus single-stream b1 latency.
+- classical enhance 1080p: uint8 NHWC (production ingest), uint8 planar,
+  fast luma-gain mode (s=1/2/4 histogram decimation), and float32 (the
+  headline, comparable with BENCH_r01) — the fused RGB->Lab->CLAHE(L)->RGB
+  pipeline the reference runs per-image through OpenCV on CPU (reference:
+  enhancers/adaptive_params.py:121-169). Frames are 1920x1088 (1080p
+  letterboxed to /32, reference utils/letterbox.py:45).
+- classical enhance 4K (2176x3840, tiles=16): exact-Lab and luma modes —
+  guards `_pick_bands` VMEM budgeting against regressions.
 
 Methodology (this environment): the axon TPU platform's block_until_ready
 returns before execution completes and repeated identical dispatches can be
 short-circuited — so distinct inputs cycle and the slope method (K dispatches
 + one forced scalar fetch, slope between K=1 and K=big) cancels the tunnel
-round trip. See BENCH_NOTES.md.
+round trip. Between-process variance on the 3-5 ms classical pipelines is
+±40% (BENCH_NOTES.md round 3), so the classical metrics use the perf_lab
+calibration: all variants measured INTERLEAVED in one process, 3 reps each,
+reported as the per-variant MEDIAN with a `spread` field
+((max-min)/median across reps). Net/train metrics (100-500 ms/batch,
+stable) keep the min-of-3 slope.
 
 The driver parses the LAST JSON line: the classical-f32 headline.
 """
@@ -36,6 +47,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 BASELINE_FPS = 5000.0
 H, W = 1088, 1920
+H4K, W4K = 2176, 3840
 
 
 def _timed(fn, inputs, k):
@@ -55,11 +67,55 @@ def measure_batch_seconds(fn, inputs, k_small=1, k_big=9, repeats=3):
     return max((t2 - t1) / (k_big - k_small), 1e-9)
 
 
-def emit(metric, value, unit, vs_baseline=None):
+def measure_group(variants, k_big=9, repeats=3):
+    """Interleaved-median measurement for noise-floor (<10 ms) pipelines.
+
+    variants: [(name, fn, inputs)]. Every variant is compiled/warmed first,
+    then the slope measurement runs rep-major (rep 0 of all variants, rep 1
+    of all, ...) so host/tunnel load drifts hit all variants alike — the
+    calibrated perf_lab methodology (BENCH_NOTES.md round 3; single-ordering
+    min-of-3 moved 40% between rounds on unchanged code).
+
+    Returns {name: (median_seconds, spread)} with spread = (max-min)/median.
+    """
+    for _, fn, inputs in variants:
+        _timed(fn, inputs, 1)
+    times = {name: [] for name, _, _ in variants}
+    for _ in range(repeats):
+        for name, fn, inputs in variants:
+            t1 = _timed(fn, inputs, 1)
+            t2 = _timed(fn, inputs, k_big)
+            times[name].append(max((t2 - t1) / (k_big - 1), 1e-9))
+    out = {}
+    for name, ts in times.items():
+        ts = sorted(ts)
+        med = ts[len(ts) // 2]
+        out[name] = (med, (ts[-1] - ts[0]) / med)
+    return out
+
+
+def emit(metric, value, unit, vs_baseline=None, spread=None):
     rec = {"metric": metric, "value": round(value, 2), "unit": unit}
     if vs_baseline is not None:
         rec["vs_baseline"] = round(vs_baseline, 4)
+    if spread is not None:
+        rec["spread"] = round(spread, 3)
     print(json.dumps(rec), flush=True)
+
+
+def _step_flops(step, state, batch):
+    """Whole-train-step FLOPs via XLA cost analysis (CPU backend: the axon
+    plugin's analysis is not exposed through the tunnel). Returns None when
+    unavailable."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            # make_train_step returns a jitted fn; lowering only reads avals.
+            flops = step.lower(state, batch).compile().cost_analysis()["flops"]
+        return float(flops)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"# cost_analysis unavailable: {type(e).__name__}: {e}", flush=True)
+        return None
 
 
 def bench_train_step(on_tpu: bool):
@@ -68,53 +124,84 @@ def bench_train_step(on_tpu: bool):
     from retinex_tpu.train.train_state import create_train_state, make_train_step
     from retinex_tpu.train.trainer import build_criterion
 
-    size, batch = (256, 4) if on_tpu else (64, 2)
+    # 256px b4 (rounds 1-3 comparison point) and the reference-default 640px
+    # (reference main.py:48 image_size=640; VERDICT r3 item 5).
+    cases = [(256, 4), (640, 4), (640, 8)] if on_tpu else [(64, 2)]
     rng = np.random.default_rng(0)
-    batches = [
-        jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32)) for _ in range(3)
-    ]
 
-    # f32 and bf16 (use_amp — the reference's AMP analog, README.md:201
-    # claims 1.8x there) compute paths, both measured.
-    for amp in (False, True) if on_tpu else (False,):
-        config = Config(
-            use_preact=True, use_aspp=True, use_perceptual_loss=True, use_amp=amp
-        )
-        model = MultiScaleUPRetinex(
-            use_preact=True, use_aspp=True, dtype=config.compute_dtype
-        )
-        criterion = build_criterion(config)
-        state = create_train_state(
-            model, jax.random.PRNGKey(0), (batch, size, size, 3), lambda s: 1e-4
-        )
-        step = make_train_step(model, criterion, mesh=None, donate=False)
+    # bf16 peak for MFU (v5e ~197 TF/s; BENCH_NOTES hardware sanity: 191
+    # measured). f32 runs at half.
+    peak = {jnp.bfloat16: 197e12, jnp.float32: 98.5e12}
 
-        def run(b, step=step, state=state):
-            new_state, losses = step(state, b)
-            return losses["total"]
-
-        dt = measure_batch_seconds(run, batches, k_big=5)
-        tag = "_bf16" if amp else ""
-        emit(f"train_step_{size}px_b{batch}{tag}_steps_per_sec", 1.0 / dt, "steps/sec")
-
-        # s2d-packed train step (models/packed_train.py — exact rewrite,
-        # tests/test_packed_train.py). Measured alongside the standard step
-        # as the full-graph A/B that gates the packed_train config default.
-        try:
-            step_pk = make_train_step(model, criterion, mesh=None, donate=False, packed=True)
-
-            def run_pk(b, step=step_pk, state=state):
-                new_state, losses = step(state, b)
-                return losses["total"]
-
-            dt_pk = measure_batch_seconds(run_pk, batches, k_big=5)
-            emit(
-                f"train_step_{size}px_b{batch}{tag}_packed_steps_per_sec",
-                1.0 / dt_pk,
-                "steps/sec",
+    for size, batch in cases:
+        batches = [
+            jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32))
+            for _ in range(3)
+        ]
+        # f32 and bf16 (use_amp — the reference's AMP analog, README.md:201
+        # claims 1.8x there) compute paths. At 640px only bf16 (the shipping
+        # production config) to bound bench time.
+        amps = ((False, True) if size == 256 else (True,)) if on_tpu else (False,)
+        for amp in amps:
+            config = Config(
+                use_preact=True, use_aspp=True, use_perceptual_loss=True, use_amp=amp
             )
-        except Exception as e:  # pragma: no cover - hardware-dependent
-            print(f"# packed train bench failed: {type(e).__name__}: {e}", flush=True)
+            model = MultiScaleUPRetinex(
+                use_preact=True, use_aspp=True, dtype=config.compute_dtype
+            )
+            criterion = build_criterion(config)
+            state = create_train_state(
+                model, jax.random.PRNGKey(0), (batch, size, size, 3), lambda s: 1e-4
+            )
+            tag = "_bf16" if amp else ""
+
+            flops = None
+            for packed in (False, True):
+                try:
+                    step = make_train_step(
+                        model, criterion, mesh=None, donate=False, packed=packed
+                    )
+                except Exception as e:  # pragma: no cover
+                    print(f"# packed={packed} step build failed: {e}", flush=True)
+                    continue
+
+                def run(b, step=step, state=state):
+                    new_state, losses = step(state, b)
+                    return losses["total"]
+
+                try:
+                    dt = measure_batch_seconds(run, batches, k_big=5)
+                except Exception as e:  # pragma: no cover - hardware-dependent
+                    print(
+                        f"# train bench {size}px b{batch}{tag} packed={packed} "
+                        f"failed: {type(e).__name__}: {e}",
+                        flush=True,
+                    )
+                    continue
+                ptag = "_packed" if packed else ""
+                emit(
+                    f"train_step_{size}px_b{batch}{tag}{ptag}_steps_per_sec",
+                    1.0 / dt,
+                    "steps/sec",
+                )
+                # Whole-step MFU (VERDICT r3 item 5): FLOPs from XLA cost
+                # analysis of the STANDARD step (the packed step runs the
+                # same math 4x wider; its logical FLOPs differ only by the
+                # s2d reassociation) against the chip's dtype peak.
+                if on_tpu and size == 640:
+                    if flops is None:
+                        flops = _step_flops(
+                            make_train_step(model, criterion, mesh=None, donate=False),
+                            state,
+                            batches[0],
+                        )
+                    if flops:
+                        mfu = (flops / dt) / peak[config.compute_dtype] * 100.0
+                        emit(
+                            f"train_step_{size}px_b{batch}{tag}{ptag}_mfu_pct",
+                            mfu,
+                            "percent",
+                        )
 
 
 def bench_net(on_tpu: bool):
@@ -147,9 +234,16 @@ def bench_net(on_tpu: bool):
     dtp = measure_batch_seconds(fwd_packed, inputs, k_big=5)
     emit(f"net_{h}x{w}_packed_fps_per_chip", batch / dtp, "frames/sec")
     if on_tpu:
-        # Throughput batches: b8 (round-2 point) and b16, which fits since
-        # the MXU-matmul fusion upsamples removed the 32-lane-minor padded
-        # intermediates (round 3: b16 = 27.4 fps vs b8 25.8).
+        # Single-stream latency (VERDICT r3 item 7): one 1080p frame,
+        # dispatch-to-ready, packed graph.
+        inputs_b1 = [
+            jnp.asarray(rng.random((1, h, w, 3), dtype=np.float32), dtype=dtype)
+            for _ in range(3)
+        ]
+        dt1 = measure_batch_seconds(fwd_packed, inputs_b1, k_big=5)
+        emit("net_1080p_packed_b1_latency_ms", dt1 * 1e3, "ms")
+        # Throughput batches: b8 (round-2 point) and b16 (the measured
+        # saturation point; b24+ OOM — BENCH_NOTES round 3).
         for bb in (4 * batch, 8 * batch):
             inputs_b = [
                 jnp.asarray(rng.random((bb, h, w, 3), dtype=np.float32), dtype=dtype)
@@ -169,78 +263,114 @@ def bench_classical(on_tpu: bool):
         for _ in range(4)
     ]
     k_big = 9 if on_tpu else 3
+    fn_f32 = jax.jit(clahe_lab_rgb)  # auto-routes: gather kernel on TPU, XLA on CPU
 
-    if on_tpu:
-        from retinex_tpu.ops.clahe_gather import (
-            clahe_rgb_u8_gather,
-            clahe_rgb_u8_planar_gather,
+    if not on_tpu:
+        dt = measure_batch_seconds(fn_f32, inputs_f32, k_big=k_big)
+        emit(
+            "classical_enhance_1080p_fps_per_chip",
+            batch / dt,
+            "frames/sec",
+            (batch / dt) / BASELINE_FPS,
+        )
+        return
+
+    from retinex_tpu.ops.clahe_gather import (
+        clahe_rgb_u8_gather,
+        clahe_rgb_u8_planar_gather,
+    )
+    from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8_planar
+
+    inputs_u8 = [
+        jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8) for x in inputs_f32
+    ]
+    inputs_planar = [jnp.transpose(v, (0, 3, 1, 2)) for v in inputs_u8]
+
+    # All 1080p classical variants interleaved in one group (see module
+    # docstring): exact-parity u8 NHWC (production ingest) + planar, the
+    # fast luma-gain mode at s=1/2/4 (ops/clahe_luma.py — the documented
+    # reduced-parity path past the exact pipeline's speed-of-light,
+    # BENCH_NOTES SOL analysis), and the f32 headline.
+    variants = [
+        ("u8", clahe_rgb_u8_gather, inputs_u8),
+        ("u8_planar", clahe_rgb_u8_planar_gather, inputs_planar),
+        ("u8_luma_fast", clahe_luma_rgb_u8_planar, inputs_planar),
+        (
+            "u8_luma_fast_s2",
+            functools.partial(clahe_luma_rgb_u8_planar, hist_subsample=2),
+            inputs_planar,
+        ),
+        (
+            "u8_luma_fast_s4",
+            functools.partial(clahe_luma_rgb_u8_planar, hist_subsample=4),
+            inputs_planar,
+        ),
+        ("f32", fn_f32, inputs_f32),
+    ]
+    try:
+        results = measure_group(variants, k_big=k_big)
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        print(f"# classical group failed ({type(e).__name__}: {e}); "
+              "falling back to f32 only", flush=True)
+        dt = measure_batch_seconds(fn_f32, inputs_f32, k_big=k_big)
+        results = {"f32": (dt, 0.0)}
+
+    for name, (dt, spread) in results.items():
+        if name == "f32":
+            continue  # headline printed last
+        emit(
+            f"classical_enhance_1080p_{name}_fps_per_chip",
+            batch / dt,
+            "frames/sec",
+            (batch / dt) / BASELINE_FPS,
+            spread=spread,
         )
 
-        inputs_u8 = [
-            jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8) for x in inputs_f32
+    # 4K (2176x3840, tiles=16 — hw stays <= 128 lanes; VERDICT r3 item 8).
+    # batch 2 = same pixel count as 8x1080p; guards `_pick_bands` VMEM
+    # budgeting (nb=2 at 4K; nb=4 OOMed the AOT compiler, BENCH_NOTES).
+    try:
+        b4k = 2
+        in4k = [
+            jnp.asarray(rng.integers(0, 256, (b4k, 3, H4K, W4K), dtype=np.uint8))
+            for _ in range(4)
         ]
-        dt_u8 = measure_batch_seconds(clahe_rgb_u8_gather, inputs_u8, k_big=k_big)
-        emit(
-            "classical_enhance_1080p_u8_fps_per_chip",
-            batch / dt_u8,
-            "frames/sec",
-            (batch / dt_u8) / BASELINE_FPS,
-        )
-        # Planar ingest: the pipeline with no NHWC<->planar device relayouts
-        # (what a planar-decoding host loader would feed; the current batched
-        # driver ships NHWC, measured above).
-        inputs_planar = [jnp.transpose(v, (0, 3, 1, 2)) for v in inputs_u8]
-        dt_pl = measure_batch_seconds(
-            clahe_rgb_u8_planar_gather, inputs_planar, k_big=k_big
-        )
-        emit(
-            "classical_enhance_1080p_u8_planar_fps_per_chip",
-            batch / dt_pl,
-            "frames/sec",
-            (batch / dt_pl) / BASELINE_FPS,
-        )
-
-        # Fast luma-gain mode (ops/clahe_luma.py): the documented
-        # reduced-parity alternative past the Lab pipeline's speed-of-light
-        # (BENCH_NOTES.md round-3 SOL analysis). Guarded so a kernel-lowering
-        # failure can't take down the f32 headline metric below.
-        try:
-            from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8_planar
-
-            dt_lu = measure_batch_seconds(
-                clahe_luma_rgb_u8_planar, inputs_planar, k_big=k_big
-            )
+        v4k = [
+            (
+                "u8_planar",
+                functools.partial(clahe_rgb_u8_planar_gather, tiles_x=16, tiles_y=16),
+                in4k,
+            ),
+            (
+                "u8_luma_fast",
+                functools.partial(clahe_luma_rgb_u8_planar, tiles_x=16, tiles_y=16),
+                in4k,
+            ),
+            (
+                "u8_luma_fast_s2",
+                functools.partial(
+                    clahe_luma_rgb_u8_planar, tiles_x=16, tiles_y=16, hist_subsample=2
+                ),
+                in4k,
+            ),
+        ]
+        for name, (dt, spread) in measure_group(v4k, k_big=k_big).items():
             emit(
-                "classical_enhance_1080p_u8_luma_fast_fps_per_chip",
-                batch / dt_lu,
+                f"classical_enhance_4k_{name}_fps_per_chip",
+                b4k / dt,
                 "frames/sec",
-                (batch / dt_lu) / BASELINE_FPS,
+                spread=spread,
             )
-            # Decimated-histogram knob (hist_subsample=2): tile histograms
-            # from 1/4 of the luma pixels, 46-51 dB PSNR vs the exact-hist
-            # output on real photos (tests/test_clahe_luma.py). Opt-in via
-            # --clahe_hist_subsample; measured +23% (perf_lab lumasub).
-            dt_s2 = measure_batch_seconds(
-                functools.partial(clahe_luma_rgb_u8_planar, hist_subsample=2),
-                inputs_planar,
-                k_big=k_big,
-            )
-            emit(
-                "classical_enhance_1080p_u8_luma_fast_s2_fps_per_chip",
-                batch / dt_s2,
-                "frames/sec",
-                (batch / dt_s2) / BASELINE_FPS,
-            )
-        except Exception as e:  # pragma: no cover - hardware-dependent
-            print(f"# luma-fast bench failed: {type(e).__name__}: {e}", flush=True)
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        print(f"# 4k bench failed: {type(e).__name__}: {e}", flush=True)
 
-    fn = jax.jit(clahe_lab_rgb)  # auto-routes: gather kernel on TPU, XLA on CPU
-    dt = measure_batch_seconds(fn, inputs_f32, k_big=k_big)
+    dt, spread = results["f32"]
     emit(
         "classical_enhance_1080p_fps_per_chip",
         batch / dt,
         "frames/sec",
         (batch / dt) / BASELINE_FPS,
+        spread=spread,
     )
 
 

@@ -69,11 +69,24 @@ _ZN = 1.088754
 _XYZ2RGB_SCALED = tuple(
     (row[0] * _XN, row[1], row[2] * _ZN) for row in _XYZ2RGB
 )
+# 1/XN and 1/ZN folded into the FORWARD matrix rows (fast-math path: removes
+# the two divisions/px — Mosaic f32 division is a multi-pass VPU op while the
+# fold is free; constants are formed in python doubles).
+_RGB2XYZ_T_SCALED = tuple(
+    tuple(v / s for v in row)
+    for row, s in zip(_RGB2XYZ_T, (_XN, 1.0, _ZN))
+)
 
 
 def _lab_f_inv(ft):
     # ft**3 (not ft*ft*ft): matches ops/colorspace._lab_f_inv.
     return jnp.where(ft > 6.0 / 29.0, ft**3, (ft - 16.0 / 116.0) / 7.787)
+
+
+def _lab_f_inv_fast(ft):
+    # Division-free variant for the fastmath kernels (ulp-level divergence
+    # from the XLA path, inside the PARITY #19 fast-math class).
+    return jnp.where(ft > 6.0 / 29.0, ft**3, (ft - 16.0 / 116.0) * (1.0 / 7.787))
 
 
 # Degree-7 least-squares fit of the sRGB de-gamma curve ((x+.055)/1.055)^2.4
@@ -274,15 +287,24 @@ def _apply_kernel(hh, hw, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_r
         # Mosaic has no direct uint8 -> f32 cast; hop through int32.
         a8 = lab_ref[1, r].astype(jnp.int32).astype(jnp.float32).reshape(shape)
         b8 = lab_ref[2, r].astype(jnp.int32).astype(jnp.float32).reshape(shape)
-        fy = (L2 * (100.0 / 255.0) + 16.0) / 116.0
-        fx = fy + (a8 - 128.0) / 500.0
-        fz = fy - (b8 - 128.0) / 200.0
-        Y = _lab_f_inv(fy)
+        if fastmath:
+            # Division-free: /116, /500, /200 and _lab_f_inv's /7.787 become
+            # reciprocal multiplies (divisions are multi-pass VPU ops; six of
+            # them per pixel were ~15% of the apply stage's op budget).
+            fy = L2 * (100.0 / 255.0 / 116.0) + (16.0 / 116.0)
+            fx = fy + (a8 - 128.0) * (1.0 / 500.0)
+            fz = fy - (b8 - 128.0) * (1.0 / 200.0)
+            Y = _lab_f_inv_fast(fy)
+        else:
+            fy = (L2 * (100.0 / 255.0) + 16.0) / 116.0
+            fx = fy + (a8 - 128.0) / 500.0
+            fz = fy - (b8 - 128.0) / 200.0
+            Y = _lab_f_inv(fy)
         if fastmath:
             # XN/ZN folded into the matrix, affine + *255 folded into the
             # gamma poly: emits u8-scale channel values directly.
-            X = _lab_f_inv(fx)
-            Z = _lab_f_inv(fz)
+            X = _lab_f_inv_fast(fx)
+            Z = _lab_f_inv_fast(fz)
             m = _XYZ2RGB_SCALED
             for c in range(3):
                 ch = _linear_to_srgb255_fast(
@@ -308,8 +330,8 @@ def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref, poly=False):
     gathers reproduce the XLA path's de-gamma bit-for-bit since inputs are
     u8); out_ref [3, nb, hh, ncx, hw]. The only divergence from
     ops/colorspace.rgb_to_lab_u8 is the cbrt: Mosaic has no cbrt primitive,
-    so the TPU build (fastmath=True) uses the Newton `_fast_cbrt` (2.3e-5 rel
-    = ~0.007 L level systematic error; flips quantization at ties only);
+    so the TPU build (fastmath=True) uses the Newton `_fast_cbrt` (3-step,
+    ~1e-9 rel — the forward Lab math is tie-free; see `_fast_cbrt`);
     interpret/test mode uses exact jnp.cbrt, matching the XLA path bit-for-bit.
     """
     ncx = rgb_ref.shape[3]
@@ -347,10 +369,18 @@ def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref, poly=False):
 
     for band in range(nb):
         r, g, b_ = (degamma(rgb_ref[c, band]) for c in range(3))
-        m = _RGB2XYZ_T
-        X = (m[0][0] * r + m[0][1] * g + m[0][2] * b_) / _XN
-        Y = m[1][0] * r + m[1][1] * g + m[1][2] * b_
-        Z = (m[2][0] * r + m[2][1] * g + m[2][2] * b_) / _ZN
+        if fastmath:
+            # 1/XN, 1/ZN folded into the matrix: no divisions (ulp-level
+            # divergence from the XLA path, PARITY #19 fast-math class).
+            m = _RGB2XYZ_T_SCALED
+            X = m[0][0] * r + m[0][1] * g + m[0][2] * b_
+            Y = m[1][0] * r + m[1][1] * g + m[1][2] * b_
+            Z = m[2][0] * r + m[2][1] * g + m[2][2] * b_
+        else:
+            m = _RGB2XYZ_T
+            X = (m[0][0] * r + m[0][1] * g + m[0][2] * b_) / _XN
+            Y = m[1][0] * r + m[1][1] * g + m[1][2] * b_
+            Z = (m[2][0] * r + m[2][1] * g + m[2][2] * b_) / _ZN
 
         fx, fy, fz = lab_f(X), lab_f(Y), lab_f(Z)
         L8 = (116.0 * fy - 16.0) * (255.0 / 100.0)
@@ -359,6 +389,28 @@ def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref, poly=False):
         for c, ch in enumerate((L8, a8, b8)):
             q = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(jnp.int32)
             out_ref[c, band] = q.astype(jnp.uint8).reshape(hh, ncx, hw)
+
+
+def _hist_cells(l_cells: jnp.ndarray, tiles_y: int, tiles_x: int) -> jnp.ndarray:
+    """Per-tile histograms straight from the cell view — no tile transpose.
+
+    l_cells: [b, ncy, hh', ncx, hw'] uint8 (possibly hist-decimated). The
+    one-hot einsum contracts the four within-tile axes (cell-y parity, row,
+    cell-x parity, col) directly, with (b, tile-y, tile-x) as batch dims —
+    the [b,ty,2,hh,tx,2,hw] view is a free row-major split, so the u8 tile
+    transpose (~0.4 ms/batch at 1080p, the tables stage's largest single op)
+    never happens. Whether XLA fuses the operand transpose the dot needs
+    into the one-hot compare fusion is hardware-measured: perf_lab `r4exact`.
+    """
+    b, ncy, hh, ncx, hw = l_cells.shape
+    v = l_cells.reshape(b, tiles_y, 2, hh, tiles_x, 2, hw).astype(jnp.int32)
+    iota = jnp.arange(16, dtype=jnp.int32)
+    hi_oh = ((v >> 4)[..., None] == iota).astype(jnp.bfloat16)
+    lo_oh = ((v & 15)[..., None] == iota).astype(jnp.bfloat16)
+    hist16 = jnp.einsum(
+        "byahxcwi,byahxcwj->byxij", hi_oh, lo_oh, preferred_element_type=jnp.float32
+    )
+    return hist16.reshape(b, tiles_y, tiles_x, HIST_SIZE).astype(jnp.int32)
 
 
 def _hist_planar(l_u8: jnp.ndarray, tiles_y: int, tiles_x: int) -> jnp.ndarray:
@@ -515,6 +567,12 @@ def _pick_bands(ncy: int, band_elems: int | None = None) -> int:
     )
 
 
+# Histogram formulation switch (A/B'd on-chip, perf_lab r4exact): False =
+# tile-transpose + merged-axis einsum (_hist_planar), True = direct cell-view
+# einsum (_hist_cells, no transpose). Both are bit-identical in output.
+_HIST_CELLS = False
+
+
 def _tables_stage(
     l_cells: jnp.ndarray, clip_limit: float, tiles_y: int, tiles_x: int, area: int
 ) -> jnp.ndarray:
@@ -531,7 +589,10 @@ def _tables_stage(
     """
     b, ncy, hh, ncx, hw = l_cells.shape
     h, w = ncy * hh, ncx * hw
-    hist = _hist_planar(l_cells.reshape(b, h, w), tiles_y, tiles_x)
+    if _HIST_CELLS:
+        hist = _hist_cells(l_cells, tiles_y, tiles_x)
+    else:
+        hist = _hist_planar(l_cells.reshape(b, h, w), tiles_y, tiles_x)
     luts = _luts_from_hist(hist, clip_limit, area)  # [b, ty, tx, 256] int32
     luts_flat = luts.reshape(b, tiles_y * tiles_x, HIST_SIZE)
 
@@ -660,10 +721,18 @@ def _fwd_kernel5(nb, fastmath, rgb_ref, dg_ref, out_ref, poly=False):
 
     for band in range(nb):
         r, g, b_ = (degamma(rgb_ref[c, band]) for c in range(3))
-        m = _RGB2XYZ_T
-        X = (m[0][0] * r + m[0][1] * g + m[0][2] * b_) / _XN
-        Y = m[1][0] * r + m[1][1] * g + m[1][2] * b_
-        Z = (m[2][0] * r + m[2][1] * g + m[2][2] * b_) / _ZN
+        if fastmath:
+            # 1/XN, 1/ZN folded into the matrix: no divisions (ulp-level
+            # divergence from the XLA path, PARITY #19 fast-math class).
+            m = _RGB2XYZ_T_SCALED
+            X = m[0][0] * r + m[0][1] * g + m[0][2] * b_
+            Y = m[1][0] * r + m[1][1] * g + m[1][2] * b_
+            Z = m[2][0] * r + m[2][1] * g + m[2][2] * b_
+        else:
+            m = _RGB2XYZ_T
+            X = (m[0][0] * r + m[0][1] * g + m[0][2] * b_) / _XN
+            Y = m[1][0] * r + m[1][1] * g + m[1][2] * b_
+            Z = (m[2][0] * r + m[2][1] * g + m[2][2] * b_) / _ZN
 
         fx, fy, fz = lab_f(X), lab_f(Y), lab_f(Z)
         L8 = (116.0 * fy - 16.0) * (255.0 / 100.0)
@@ -720,13 +789,22 @@ def _apply_kernel5(ncx, fastmath, nb, lab_ref, luts_ref, xa_ref, ya_ref, out_ref
 
         a8 = lab_ref[1, r].astype(jnp.int32).astype(jnp.float32)
         b8 = lab_ref[2, r].astype(jnp.int32).astype(jnp.float32)
-        fy = (L2 * (100.0 / 255.0) + 16.0) / 116.0
-        fx = fy + (a8 - 128.0) / 500.0
-        fz = fy - (b8 - 128.0) / 200.0
-        Y = _lab_f_inv(fy)
         if fastmath:
-            X = _lab_f_inv(fx)
-            Z = _lab_f_inv(fz)
+            # Division-free: /116, /500, /200 and _lab_f_inv's /7.787 become
+            # reciprocal multiplies (divisions are multi-pass VPU ops; six of
+            # them per pixel were ~15% of the apply stage's op budget).
+            fy = L2 * (100.0 / 255.0 / 116.0) + (16.0 / 116.0)
+            fx = fy + (a8 - 128.0) * (1.0 / 500.0)
+            fz = fy - (b8 - 128.0) * (1.0 / 200.0)
+            Y = _lab_f_inv_fast(fy)
+        else:
+            fy = (L2 * (100.0 / 255.0) + 16.0) / 116.0
+            fx = fy + (a8 - 128.0) / 500.0
+            fz = fy - (b8 - 128.0) / 200.0
+            Y = _lab_f_inv(fy)
+        if fastmath:
+            X = _lab_f_inv_fast(fx)
+            Z = _lab_f_inv_fast(fz)
             m = _XYZ2RGB_SCALED
             for c in range(3):
                 ch = _linear_to_srgb255_fast(m[c][0] * X + m[c][1] * Y + m[c][2] * Z)

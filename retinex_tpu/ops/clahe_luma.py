@@ -316,10 +316,27 @@ def clahe_luma_rgb_u8_planar(
     hh, hw = h // ncy, w // ncx
     rows = hh * ncx
 
-    y = _luma_u8(xp_u8)  # [b, h, w]
-    y_cells = y.reshape(b, ncy, hh, ncx, hw)[
-        :, :, ::hist_subsample, :, ::hist_subsample
-    ]
+    if fuse_luma:
+        # The apply kernel recomputes luma in-kernel, so only the histogram
+        # needs a luma plane — and it reads every hist_subsample-th pixel.
+        # Compute luma ONLY on those: at s=4 the XLA luma pass shrinks 16x
+        # (the full-plane pass reads all 50 MB of RGB). Identical per-pixel
+        # math and operation order as _luma_u8, so histograms (and the final
+        # output) are bit-identical to the unfused path at every s.
+        xd = xp_u8.reshape(b, 3, ncy, hh, ncx, hw)[
+            :, :, :, ::hist_subsample, :, ::hist_subsample
+        ]
+        r_ = xd[:, 0].astype(jnp.float32)
+        g_ = xd[:, 1].astype(jnp.float32)
+        b_ = xd[:, 2].astype(jnp.float32)
+        y_cells = jnp.clip(
+            jnp.round(_LUMA_R * r_ + _LUMA_G * g_ + _LUMA_B * b_), 0.0, 255.0
+        ).astype(jnp.uint8)
+    else:
+        y = _luma_u8(xp_u8)  # [b, h, w]
+        y_cells = y.reshape(b, ncy, hh, ncx, hw)[
+            :, :, ::hist_subsample, :, ::hist_subsample
+        ]
     area = 4 * y_cells.shape[2] * y_cells.shape[4]  # == (2hh)(2hw) at s=1
     lane_luts = _tables_stage(y_cells, clip_limit, tiles_y, tiles_x, area)
 

@@ -2298,15 +2298,21 @@ def run_cbrt3():
 
     orig = cg._fast_cbrt
 
-    def cbrt3(x):
-        xi = jax.lax.bitcast_convert_type(x, jnp.int32)
-        third = (xi.astype(jnp.float32) * (1.0 / 3.0)).astype(jnp.int32)
-        z = jax.lax.bitcast_convert_type(jnp.int32(0x54A232A3) - third, jnp.float32)
-        for _ in range(3):
-            z = z * (4.0 - x * z * z * z) * (1.0 / 3.0)
-        return x * z * z
+    # Explicit step counts: the module default flipped to 3 steps in round 3,
+    # so aliasing `orig` as the 2-step variant would silently A/B 3 vs 3
+    # (ADVICE r3). Both variants are self-contained.
+    def make_cbrt(iters):
+        def cbrt_n(x):
+            xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+            third = (xi.astype(jnp.float32) * (1.0 / 3.0)).astype(jnp.int32)
+            z = jax.lax.bitcast_convert_type(jnp.int32(0x54A232A3) - third, jnp.float32)
+            for _ in range(iters):
+                z = z * (4.0 - x * z * z * z) * (1.0 / 3.0)
+            return x * z * z
 
-    variants = (("iters=2", orig), ("iters=3", cbrt3))
+        return cbrt_n
+
+    variants = (("iters=2", make_cbrt(2)), ("iters=3", make_cbrt(3)))
 
     def activate(fn):
         cg._fast_cbrt = fn
@@ -2775,6 +2781,144 @@ def run_tables3():
         return cg._apply_stage(lab6, packed, False)
 
     measure("full - select stubbed", jax.jit(all_same), xs)
+
+
+@exp("r4exact")
+def run_r4exact():
+    """Round-4 exact-path levers, A/B'd in the full graph (interleaved):
+
+    (a) parity re-check after the division->reciprocal strength reduction in
+        all four gather kernels (fastmath only; must stay inside the PARITY
+        #19 budget: frac>0.5 ~1e-3, maxd <= ~8 on adversarial dark noise);
+    (b) _HIST_CELLS: tile-transpose hist (False, current) vs direct cell-view
+        einsum (True — kills the ~0.4 ms u8 transpose IF XLA fuses the
+        operand transpose into the one-hot compares);
+    (c) NHWC ingest back-to-back through the 6D core (current routing) and
+        the 5D core, at the hist winner.
+    """
+    import retinex_tpu.ops.clahe_gather as cg
+    from retinex_tpu.ops.clahe import clahe_lab_rgb
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32) * 0.7)
+    want = np.asarray(clahe_lab_rgb(img, use_pallas=False))
+    got = np.asarray(cg.clahe_lab_rgb_gather(img))
+    d = np.abs(want - got) * 255.0
+    print(
+        f"recip-div parity vs XLA: maxd {d.max():.2f} frac>0.5 {(d > 0.5).mean():.2e}",
+        flush=True,
+    )
+
+    xs_pl = [
+        jnp.asarray(rng.integers(0, 256, (8, 3, H, W), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    xs_nhwc = [jnp.transpose(v, (0, 2, 3, 1)) for v in xs_pl]
+
+    def set_hist(flag):
+        cg._HIST_CELLS = flag
+        cg.clahe_rgb_u8_planar_gather5.clear_cache()
+        cg.clahe_rgb_u8_planar_gather6.clear_cache()
+        cg.clahe_rgb_u8_gather.clear_cache()
+        cg.clahe_lab_rgb_gather.clear_cache()
+
+    # bit-identity of the two hist forms (cheap, on-chip)
+    set_hist(False)
+    a = np.asarray(cg.clahe_rgb_u8_planar_gather5(xs_pl[0]))
+    set_hist(True)
+    b = np.asarray(cg.clahe_rgb_u8_planar_gather5(xs_pl[0]))
+    print(f"hist_cells bit-identity: maxd {np.abs(a.astype(int) - b.astype(int)).max()}",
+          flush=True)
+
+    try:
+        for rep in range(3):
+            for flag in (False, True):
+                set_hist(flag)
+                measure(
+                    f"[{rep}] planar5 u8 hist_cells={flag}",
+                    cg.clahe_rgb_u8_planar_gather5,
+                    xs_pl,
+                )
+        # NHWC routing re-A/B at hist winner decided by the numbers above —
+        # run both hist settings for NHWC too (cheap: 2x2 variants).
+        for rep in range(3):
+            for flag in (False, True):
+                set_hist(flag)
+                measure(
+                    f"[{rep}] NHWC u8 6Dcore hist_cells={flag}",
+                    cg.clahe_rgb_u8_gather,
+                    xs_nhwc,
+                )
+
+                @jax.jit
+                def nhwc_5d(x):
+                    xp = x.transpose(0, 3, 1, 2)
+                    return cg.clahe_rgb_u8_planar_gather5(xp).transpose(0, 2, 3, 1)
+
+                measure(f"[{rep}] NHWC u8 5Dcore hist_cells={flag}", nhwc_5d, xs_nhwc)
+    finally:
+        set_hist(False)
+
+
+@exp("r4luma")
+def run_r4luma():
+    """Round-4 luma-mode levers toward a robust >=5,000 fps median:
+
+    (a) fused+decimated luma at s in {1,2,4}: fuse_luma=True now computes
+        luma ONLY on the histogram's decimated pixels (16x less luma work at
+        s=4) — bit-identity vs the unfused path checked on-chip first;
+    (b) interleaved medians of unfused vs fused at each s;
+    (c) batch scaling b16 at the s=4 winner (fixed-overhead amortization —
+        the lean pipeline is ~1.7 ms/batch where dispatch floors matter).
+    """
+    from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8_planar
+
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (8, 3, H, W), dtype=np.uint8))
+        for _ in range(4)
+    ]
+
+    for s in (1, 2, 4):
+        a = np.asarray(clahe_luma_rgb_u8_planar(xs[0], hist_subsample=s))
+        b = np.asarray(
+            clahe_luma_rgb_u8_planar(xs[0], hist_subsample=s, fuse_luma=True)
+        )
+        print(
+            f"s={s} fused-vs-unfused maxd "
+            f"{np.abs(a.astype(int) - b.astype(int)).max()}",
+            flush=True,
+        )
+
+    for rep in range(3):
+        for s in (1, 2, 4):
+            measure(
+                f"[{rep}] luma s={s} unfused",
+                functools.partial(clahe_luma_rgb_u8_planar, hist_subsample=s),
+                xs,
+            )
+            measure(
+                f"[{rep}] luma s={s} fused-dec",
+                functools.partial(
+                    clahe_luma_rgb_u8_planar, hist_subsample=s, fuse_luma=True
+                ),
+                xs,
+            )
+
+    xs16 = [
+        jnp.asarray(rng.integers(0, 256, (16, 3, H, W), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    for rep in range(3):
+        for fused in (False, True):
+            measure(
+                f"[{rep}] b16 luma s=4 fused={fused}",
+                functools.partial(
+                    clahe_luma_rgb_u8_planar, hist_subsample=4, fuse_luma=fused
+                ),
+                xs16,
+                batch=16,
+            )
 
 
 def main():
