@@ -156,7 +156,11 @@ def bench_train_step(on_tpu: bool):
             tag = "_bf16" if amp else ""
 
             flops = None
-            for packed in (False, True):
+            # (640, 8) unpacked OOMs HBM (15.78G > 15.75G, BENCH_r04 baseline
+            # log: the jvp's full-res bf16 activations at b8 don't fit without
+            # remat) — bench only the shipping packed step at that point.
+            packed_opts = (True,) if (size, batch) == (640, 8) else (False, True)
+            for packed in packed_opts:
                 try:
                     step = make_train_step(
                         model, criterion, mesh=None, donate=False, packed=packed

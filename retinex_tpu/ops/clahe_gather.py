@@ -12,12 +12,13 @@ Architecture (v3 — no cellize: XLA relayout glue measured 6 ms/batch in v1):
 - `_fwd_stage` (Pallas, grid (B, ncy/nb)): planar uint8 sRGB -> 8-bit Lab,
   nb half-tile row bands per program; sRGB de-gamma via same-shape lane
   gathers from a 2x128 table, cbrt via the Newton `_fast_cbrt`.
-- `_tables_stage` (XLA, all MXU algebra — lane-axis cumsum and non-lane
-  gathers lower to relayout-heavy loops otherwise): nibble-MXU per-tile
-  histograms, OpenCV clip/redistribute, CDF as one triangular-matrix dot,
-  per-cell neighbour-LUT selection as constant 0/1 matmuls, byte-packed
-  into one int32 word per entry (the 4 neighbour LUTs are always indexed by
-  the same pixel value) laid out as two 128-entry lane halves per cell.
+- `_tables_stage`: nibble-MXU per-tile histograms (int8 one-hot dot in XLA,
+  direct cell-view contraction — no tile transpose), then ONE fused Pallas
+  program per image (`_tables_kernel`) for the OpenCV clip/redistribute,
+  CDF as one triangular-matrix dot, per-cell neighbour-LUT selection as a
+  constant selection matmul, byte-packed into one int32 word per entry
+  (the 4 neighbour LUTs are always indexed by the same pixel value) laid
+  out as two 128-entry lane halves per cell.
 - `_apply_stage` (Pallas, grid (B, ncy/nb)): within a band the y-neighbour
   tiles and the ya parity are fixed (nb even keeps parity static per
   unrolled band); a pixel looks up its packed word with 2 same-shape lane
@@ -391,6 +392,30 @@ def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref, poly=False):
             out_ref[c, band] = q.astype(jnp.uint8).reshape(hh, ncx, hw)
 
 
+# One-hot element type for the histogram contraction: int8 halves the
+# materialized one-hot operand traffic (the dot's operands cannot fuse into
+# the compare, so 2 x px x 16 elements hit HBM — ~1 GB/batch at 1080p s=1
+# in bf16) IF the backend lowers s8 x s8 -> s32 natively on the MXU.
+# Bit-identity is trivial (exact integer counts) — MEASURED on-chip
+# (perf_lab r4b, interleaved 3-rep medians): exact pipeline 3.27 -> 3.21
+# ms/batch-8 (2/3 pairwise wins), luma s=1 2.43 -> 2.37; never a clear
+# loss, and the s8 dot lowers natively on v5e (bit-identity maxd 0).
+_HIST_I8 = True
+
+
+def _hist_dot(v: jnp.ndarray, spec: str) -> jnp.ndarray:
+    """Shared one-hot nibble contraction: v int32 [..., px-axes] -> f32/i32
+    histogram via `spec` einsum over {bf16, int8} one-hots (_HIST_I8)."""
+    iota = jnp.arange(16, dtype=jnp.int32)
+    if _HIST_I8:
+        hi_oh = ((v >> 4)[..., None] == iota).astype(jnp.int8)
+        lo_oh = ((v & 15)[..., None] == iota).astype(jnp.int8)
+        return jnp.einsum(spec, hi_oh, lo_oh, preferred_element_type=jnp.int32)
+    hi_oh = ((v >> 4)[..., None] == iota).astype(jnp.bfloat16)
+    lo_oh = ((v & 15)[..., None] == iota).astype(jnp.bfloat16)
+    return jnp.einsum(spec, hi_oh, lo_oh, preferred_element_type=jnp.float32)
+
+
 def _hist_cells(l_cells: jnp.ndarray, tiles_y: int, tiles_x: int) -> jnp.ndarray:
     """Per-tile histograms straight from the cell view — no tile transpose.
 
@@ -399,17 +424,13 @@ def _hist_cells(l_cells: jnp.ndarray, tiles_y: int, tiles_x: int) -> jnp.ndarray
     cell-x parity, col) directly, with (b, tile-y, tile-x) as batch dims —
     the [b,ty,2,hh,tx,2,hw] view is a free row-major split, so the u8 tile
     transpose (~0.4 ms/batch at 1080p, the tables stage's largest single op)
-    never happens. Whether XLA fuses the operand transpose the dot needs
-    into the one-hot compare fusion is hardware-measured: perf_lab `r4exact`.
+    never happens. MEASURED WINNER over the transpose form (perf_lab
+    r4exact: 3.43 vs 4.16 ms/batch-8 full exact pipeline) — XLA folds the
+    operand transpose into the dot.
     """
     b, ncy, hh, ncx, hw = l_cells.shape
     v = l_cells.reshape(b, tiles_y, 2, hh, tiles_x, 2, hw).astype(jnp.int32)
-    iota = jnp.arange(16, dtype=jnp.int32)
-    hi_oh = ((v >> 4)[..., None] == iota).astype(jnp.bfloat16)
-    lo_oh = ((v & 15)[..., None] == iota).astype(jnp.bfloat16)
-    hist16 = jnp.einsum(
-        "byahxcwi,byahxcwj->byxij", hi_oh, lo_oh, preferred_element_type=jnp.float32
-    )
+    hist16 = _hist_dot(v, "byahxcwi,byahxcwj->byxij")
     return hist16.reshape(b, tiles_y, tiles_x, HIST_SIZE).astype(jnp.int32)
 
 
@@ -426,12 +447,7 @@ def _hist_planar(l_u8: jnp.ndarray, tiles_y: int, tiles_x: int) -> jnp.ndarray:
         .transpose(0, 1, 3, 2, 4)
         .reshape(b, tiles_y, tiles_x, th * tw)
     ).astype(jnp.int32)
-    iota = jnp.arange(16, dtype=jnp.int32)
-    hi_oh = ((tiles >> 4)[..., None] == iota).astype(jnp.bfloat16)
-    lo_oh = ((tiles & 15)[..., None] == iota).astype(jnp.bfloat16)
-    hist16 = jnp.einsum(
-        "btxpi,btxpj->btxij", hi_oh, lo_oh, preferred_element_type=jnp.float32
-    )
+    hist16 = _hist_dot(tiles, "btxpi,btxpj->btxij")
     return hist16.reshape(b, tiles_y, tiles_x, HIST_SIZE).astype(jnp.int32)
 
 
@@ -507,7 +523,7 @@ def clahe_rgb_u8_planar_gather6(
     lab6 = jax.lax.optimization_barrier(lab6)
     l_cells = lab6[0][:, :, ::hist_subsample, :, ::hist_subsample]
     area = 4 * l_cells.shape[2] * l_cells.shape[4]  # == (2hh)(2hw) at s=1
-    lane_luts = _tables_stage(l_cells, clip_limit, tiles_y, tiles_x, area)
+    lane_luts = _tables_stage(l_cells, clip_limit, tiles_y, tiles_x, area, interpret)
     rgbp = _apply_stage(lab6, lane_luts, interpret)
     return rgbp.reshape(b, 3, h, w)
 
@@ -570,17 +586,135 @@ def _pick_bands(ncy: int, band_elems: int | None = None) -> int:
 # Histogram formulation switch (A/B'd on-chip, perf_lab r4exact): False =
 # tile-transpose + merged-axis einsum (_hist_planar), True = direct cell-view
 # einsum (_hist_cells, no transpose). Both are bit-identical in output.
-_HIST_CELLS = False
+# MEASURED (r4exact, interleaved 3-rep medians, v5e): True WINS the full
+# exact pipeline 3.43 vs 4.16 ms/batch-8 (2330 vs 1923 fps) — XLA fuses the
+# operand transpose the one-hot dot needs into the compare fusion, so the
+# ~0.6 ms u8 tile transpose disappears. NHWC routing: 6D-core 3.44 vs
+# 5D-core 3.17 medians (within noise; routing unchanged).
+_HIST_CELLS = True
+
+# Tables-stage formulation: True = single fused Pallas kernel for everything
+# after the histogram (clip/redistribute/CDF/round/neighbour-select/byte-pack
+# — ~15 small XLA dispatches on sub-MB tensors collapse into one program per
+# image), False = the XLA op chain. Bit-identical (all arithmetic is exact
+# integer-valued f32; tests/test_clahe_gather.py::test_tables_kernel_*).
+# MEASURED WINNER (perf_lab r4tab, interleaved 3-rep pairs, v5e): exact
+# planar 3.56->2.86 / 3.24->3.11 / 3.33->3.21 ms/batch-8 (3/3), luma s=1
+# 3/3, luma s=4 2/3; 4K tiles=16 neutral; bit-identity maxd 0 on-chip
+# everywhere including 4K.
+_TABLES_KERNEL = True
+
+
+def _tables_kernel(clip, lut_scale, n_cells, hist_ref, tri_ref, st_ref, out_ref):
+    """Fused post-histogram tables build, one program per image.
+
+    hist_ref: [n_tiles, 256] i32 per-tile histograms
+    tri_ref:  [256, 256] f32 upper-triangular ones (cdf[e] = sum_{j<=e})
+    st_ref:   [2*n_cells, n_tiles] f32 neighbour-select matrix, transposed,
+              with the byte-pair weights {1, 256, 257} baked in (see
+              `_tables_stage`); rows [0, n_cells) produce the lo half-word
+              (l00 | l01<<8), rows [n_cells, 2*n_cells) the hi half-word
+    out_ref:  [n_cells, 256] i32 packed words (l00|l01<<8|l10<<16|l11<<24)
+
+    OpenCV clip/redistribute math identical to `_luts_from_hist`, with the
+    two data-dependent integer divisions (256 // residual, bins // step)
+    evaluated in f32: quotients of integers <= 256 whose true values sit
+    >= 1/256 away from the nearest wrong integer, while the f32 rounding
+    error is < 2^-15 — floor() recovers the exact integer quotient
+    (exhaustively verified for all residuals in tests/test_clahe_gather.py).
+    Both dots use precision=HIGHEST: all values are integers < 2^24, so the
+    f32 contractions are exact regardless of accumulation order.
+    """
+    n_tiles = hist_ref.shape[0]
+    hist = hist_ref[...]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, HIST_SIZE), 1)
+    clipped = jnp.minimum(hist, clip)
+    excess = jnp.sum(hist - clipped, axis=-1, keepdims=True)  # [n_tiles, 1]
+    redist = excess >> 8  # excess // HIST_SIZE (excess >= 0)
+    residual = excess & (HIST_SIZE - 1)
+    res_f = jnp.maximum(residual, 1).astype(jnp.float32)
+    step_f = jnp.maximum(jnp.floor(float(HIST_SIZE) / res_f), 1.0)
+    bins_f = bins.astype(jnp.float32)
+    q = jnp.floor(bins_f / step_f)
+    gets_one = (bins_f - q * step_f == 0.0) & (q < residual.astype(jnp.float32))
+    hist3 = (clipped + redist + gets_one.astype(jnp.int32)).astype(jnp.float32)
+    cdf = jax.lax.dot_general(
+        hist3,
+        tri_ref[...],
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    luts = jnp.clip(jnp.round(cdf * lut_scale), 0.0, 255.0)
+    both = jax.lax.dot_general(
+        st_ref[...],
+        luts,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [2*n_cells, 256]
+    lo = both[:n_cells].astype(jnp.int32)
+    hi = both[n_cells:].astype(jnp.int32)
+    out_ref[...] = lo | (hi << 16)
+
+
+def _select_matrices(tiles_y: int, tiles_x: int) -> np.ndarray:
+    """[n_tiles, 2*n_cells] f32 neighbour-select matrix with byte-pair weights.
+
+    Per-cell neighbour tiles as STATIC selection MATMULS ordered (cy, cx) —
+    the output layout [b, ncy, ncx, 2, 128] is then a free reshape. XLA
+    lowers both jnp.take and the earlier stack + double-gather + transpose
+    formulation to serial-loop gathers on these lane-major [*, 256] tensors
+    (~1.4 ms/batch, perf_lab gdecomp); a constant 0/1 selection matrix turns
+    each into one tiny MXU dot (exact: LUT values <= 255 in f32).
+
+    The byte-pairing happens INSIDE the selection matmul: weights {1, 256}
+    in the 0/1 matrix compute l00 + (l01<<8) exactly in f32 (<= 65535 <
+    2^24), and one [n_tiles, 2*n_cells] matrix evaluates both pairs — one
+    MXU dispatch instead of four (the four tiny einsums cost ~0.6 ms of
+    in-graph layout/dispatch overhead, perf_lab tables3 select-stub, r3).
+    precision=HIGHEST is REQUIRED at the consuming dots: at clamped border
+    cells t0x == t1x, so a weight becomes 1 + 256 = 257 — not
+    bf16-representable — and the TPU default matmul precision would truncate
+    it to 256, zeroing the low byte (l00) for the first/last half-tile
+    columns. HIGHEST keeps the f32 contraction exact (the repo rule for
+    golden-parity contractions).
+    """
+    t0y, t1y = _neighbor_index_tables(tiles_y)
+    t0x, t1x = _neighbor_index_tables(tiles_x)
+    n_cells = 4 * tiles_y * tiles_x
+    n_tiles = tiles_y * tiles_x
+
+    def sel_matrix(ty, tx):
+        flat = (np.asarray(ty)[:, None] * tiles_x + np.asarray(tx)[None, :]).reshape(-1)
+        s = np.zeros((n_tiles, n_cells), np.float32)
+        s[flat, np.arange(n_cells)] = 1.0
+        return s
+
+    s_lo = sel_matrix(t0y, t0x) + 256.0 * sel_matrix(t0y, t1x)
+    s_hi = sel_matrix(t1y, t0x) + 256.0 * sel_matrix(t1y, t1x)
+    return np.concatenate([s_lo, s_hi], axis=1)
 
 
 def _tables_stage(
-    l_cells: jnp.ndarray, clip_limit: float, tiles_y: int, tiles_x: int, area: int
+    l_cells: jnp.ndarray,
+    clip_limit: float,
+    tiles_y: int,
+    tiles_x: int,
+    area: int,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Histograms + OpenCV LUT build + byte-packed neighbour lane tables.
 
     l_cells: [b, ncy, hh, ncx, hw] uint8 — the L plane only (the 5D pipeline
     must NOT reshape the full 150 MB Lab tensor into cell form just to feed
     this stage: that copy measured ~1 ms/batch, perf_lab layout5 round 3).
+
+    Everything after the histogram runs either as the XLA op chain
+    (`_luts_from_hist` + one packed-select einsum) or as ONE fused Pallas
+    program per image (`_tables_kernel`, `_TABLES_KERNEL=True`) — the two
+    are bit-identical; the post-hist chain is ~15 small dispatches on
+    sub-MB tensors, a dispatch/layout-overhead cost, not a FLOP one.
 
     NOTE: callers put an optimization_barrier between the fwd kernel and this
     stage — it keeps XLA from interleaving the hist/table computation into
@@ -593,49 +727,52 @@ def _tables_stage(
         hist = _hist_cells(l_cells, tiles_y, tiles_x)
     else:
         hist = _hist_planar(l_cells.reshape(b, h, w), tiles_y, tiles_x)
-    luts = _luts_from_hist(hist, clip_limit, area)  # [b, ty, tx, 256] int32
-    luts_flat = luts.reshape(b, tiles_y * tiles_x, HIST_SIZE)
-
-    # Per-cell neighbour tiles as four STATIC selection MATMULS ordered
-    # (cy, cx) — the output layout [b, ncy, ncx, 2, 128] is then a free
-    # reshape. XLA lowers both jnp.take and the earlier stack + double-gather
-    # + transpose formulation to serial-loop gathers on these lane-major
-    # [*, 256] tensors (~1.4 ms/batch, perf_lab gdecomp); a constant 0/1
-    # selection matrix turns each into one tiny MXU dot (exact: LUT values
-    # <= 255 in f32).
-    t0y, t1y = _neighbor_index_tables(tiles_y)
-    t0x, t1x = _neighbor_index_tables(tiles_x)
     n_cells = 4 * tiles_y * tiles_x
     n_tiles = tiles_y * tiles_x
 
-    def sel_matrix(ty, tx):
-        flat = (np.asarray(ty)[:, None] * tiles_x + np.asarray(tx)[None, :]).reshape(-1)
-        s = np.zeros((n_tiles, n_cells), np.float32)
-        s[flat, np.arange(n_cells)] = 1.0
-        return jnp.asarray(s)
+    if _TABLES_KERNEL:
+        clip = max(int(clip_limit * area / HIST_SIZE), 1)
+        lut_scale = float(HIST_SIZE - 1) / float(area)
+        tri = jnp.asarray(np.tril(np.ones((HIST_SIZE, HIST_SIZE), np.float32)).T)
+        st = jnp.asarray(np.ascontiguousarray(_select_matrices(tiles_y, tiles_x).T))
+        packed = pl.pallas_call(
+            functools.partial(_tables_kernel, clip, lut_scale, n_cells),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec(
+                    (None, n_tiles, HIST_SIZE),
+                    lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (HIST_SIZE, HIST_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (2 * n_cells, n_tiles), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, n_cells, HIST_SIZE), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, n_cells, HIST_SIZE), jnp.int32),
+            interpret=interpret,
+        )(hist.reshape(b, n_tiles, HIST_SIZE), tri, st)
+        return jax.lax.optimization_barrier(packed.reshape(b, ncy, ncx, 2, 128))
+
+    luts = _luts_from_hist(hist, clip_limit, area)  # [b, ty, tx, 256] int32
+    luts_flat = luts.reshape(b, n_tiles, HIST_SIZE)
 
     lf = luts_flat.astype(jnp.float32)
-
     # Byte-pack the 4 neighbour LUTs into one int32 word per entry (they are
     # always looked up at the SAME pixel value), then split into two 128-entry
     # halves: entry k*128+e of x-cell c at [.., c, k, e]. One packed gather
-    # replaces four u8 gathers; same HBM bytes as four u8 tables.
-    # The byte-pairing happens INSIDE the selection matmul: weights {1, 256}
-    # in the 0/1 matrix compute l00 + (l01<<8) exactly in f32 (<= 65535 <
-    # 2^24), and one [64, 2*n_cells] matrix evaluates both pairs — one MXU
-    # dispatch instead of four (the four tiny einsums cost ~0.6 ms of
-    # in-graph layout/dispatch overhead, perf_lab tables3 select-stub, r3).
-    # precision=HIGHEST is REQUIRED: at clamped border cells t0x == t1x, so a
-    # weight becomes 1 + 256 = 257 — not bf16-representable — and the TPU
-    # default matmul precision would truncate it to 256, zeroing the low
-    # byte (l00) for the first/last half-tile columns. HIGHEST keeps the
-    # f32 contraction exact (the repo rule for golden-parity contractions).
-    s_lo = sel_matrix(t0y, t0x) + 256.0 * sel_matrix(t0y, t1x)
-    s_hi = sel_matrix(t1y, t0x) + 256.0 * sel_matrix(t1y, t1x)
+    # replaces four u8 gathers; same HBM bytes as four u8 tables. See
+    # `_select_matrices` for the weight construction + precision rationale.
     both = jnp.einsum(
         "bte,tc->bce",
         lf,
-        jnp.concatenate([s_lo, s_hi], axis=1),
+        jnp.asarray(_select_matrices(tiles_y, tiles_x)),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
@@ -931,7 +1068,7 @@ def clahe_rgb_u8_planar_gather5(
         :, :, ::hist_subsample, :, ::hist_subsample
     ]
     area = 4 * l_cells.shape[2] * l_cells.shape[4]  # == (2hh)(2hw) at s=1
-    lane_luts = _tables_stage(l_cells, clip_limit, tiles_y, tiles_x, area)
+    lane_luts = _tables_stage(l_cells, clip_limit, tiles_y, tiles_x, area, interpret)
     rgbp = _apply_stage5(lab5, lane_luts, ncx, interpret)
     return rgbp.reshape(b, 3, h, w)
 

@@ -62,6 +62,23 @@ from retinex_tpu.ops.clahe_gather import _pick_bands, _tables_stage, gather_supp
 # BT.601 luma weights on gamma-encoded values (cv2 RGB->YCrCb Y channel).
 _LUMA_R, _LUMA_G, _LUMA_B = 0.299, 0.587, 0.114
 
+# gain = (y_eq+1) * table[1/(y+1)] instead of (y_eq+1) / (y+1): y is uint8,
+# so the 256 reciprocals are a [2, 128] f32 lane table and the kernel reuses
+# the LUT lookup's (idx128, hi_side) — ~3 extra gather slots replace the
+# per-pixel multi-pass VPU division. The XLA oracle uses the SAME table so
+# the two formulations stay bit-identical; vs the division form the gain
+# differs by <= 1 ulp (can flip the rounded output +-1 at exact ties —
+# inside the mode's own documented divergence class, PARITY.md #20).
+# MEASURED LOSER on-chip (perf_lab r4b, luma s=4 interleaved medians:
+# 1.87 division vs 2.07 ms/batch-8 table, 2/3 pairwise) — the division
+# pipelines fine across the independent row vectors while the extra
+# gathers contend with the LUT lookup's. Default stays False (division).
+_RECIP_GAIN = False
+
+
+def _recip_table():
+    return 1.0 / (jnp.arange(256, dtype=jnp.float32) + 1.0)
+
 
 def _luma_u8(xp_u8: jnp.ndarray) -> jnp.ndarray:
     """[b, 3, H, W] u8 -> [b, H, W] u8 luma (XLA fuses cast+madd+round)."""
@@ -72,7 +89,8 @@ def _luma_u8(xp_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.uint8)
 
 
-def _apply_luma_kernel5(ncx, nb, rgb_ref, y_ref, luts_ref, xa_ref, ya_ref, out_ref):
+def _apply_luma_kernel5(ncx, nb, recip_gain, rgb_ref, y_ref, luts_ref, xa_ref, ya_ref,
+                        rc_ref, out_ref):
     """5D-layout luma-gain apply: LUT lookup + blend + multiplicative gain.
 
     rgb_ref:  [3, nb, rows, hw] uint8 sRGB (rows = hh * ncx)
@@ -80,6 +98,7 @@ def _apply_luma_kernel5(ncx, nb, rgb_ref, y_ref, luts_ref, xa_ref, ya_ref, out_r
     luts_ref: [nb, ncx, 2, 128] int32 byte-packed neighbour LUTs
               (ops/clahe_gather._tables_stage layout)
     xa_ref:   [rows, hw] f32, ya_ref: [rows, 2] f32 pre-expanded blend weights
+    rc_ref:   [2, 128] f32 reciprocal table 1/(v+1) (used when recip_gain)
     out_ref:  [3, nb, rows, hw] uint8
     """
     rows, hw = y_ref.shape[1], y_ref.shape[2]
@@ -117,14 +136,27 @@ def _apply_luma_kernel5(ncx, nb, rgb_ref, y_ref, luts_ref, xa_ref, ya_ref, out_r
         bot = l10 * (1.0 - xa) + l11 * xa
         y_eq = jnp.clip(jnp.round(top * (1.0 - ya) + bot * ya), 0.0, 255.0)
 
-        gain = (y_eq + 1.0) / (v.astype(jnp.float32) + 1.0)
+        if recip_gain:
+            # Reuse the LUT lookup's (idx128, hi_side): 2 gathers + select
+            # replace the multi-pass VPU division (see _RECIP_GAIN).
+            r_lo = jnp.broadcast_to(rc_ref[0][None], shape128)
+            r_hi = jnp.broadcast_to(rc_ref[1][None], shape128)
+            rec = jnp.where(
+                hi_side,
+                jnp.take_along_axis(r_hi, idx128, axis=1),
+                jnp.take_along_axis(r_lo, idx128, axis=1),
+            )[:, :hw]
+            gain = (y_eq + 1.0) * rec
+        else:
+            gain = (y_eq + 1.0) / (v.astype(jnp.float32) + 1.0)
         for c in range(3):
             ch = rgb_ref[c, r].astype(jnp.int32).astype(jnp.float32)
             o = jnp.round(jnp.clip(ch * gain, 0.0, 255.0)).astype(jnp.int32)
             out_ref[c, r] = o.astype(jnp.uint8)
 
 
-def _apply_luma_kernel5_fused(ncx, nb, rgb_ref, luts_ref, xa_ref, ya_ref, out_ref):
+def _apply_luma_kernel5_fused(ncx, nb, recip_gain, rgb_ref, luts_ref, xa_ref, ya_ref,
+                              rc_ref, out_ref):
     """Fused variant of :func:`_apply_luma_kernel5`: recomputes the luma plane
     in-kernel from the RGB block it already loads (same formula and operation
     order as :func:`_luma_u8`, so interpret mode is bit-identical) instead of
@@ -168,7 +200,17 @@ def _apply_luma_kernel5_fused(ncx, nb, rgb_ref, luts_ref, xa_ref, ya_ref, out_re
         bot = l10 * (1.0 - xa) + l11 * xa
         y_eq = jnp.clip(jnp.round(top * (1.0 - ya) + bot * ya), 0.0, 255.0)
 
-        gain = (y_eq + 1.0) / (v.astype(jnp.float32) + 1.0)
+        if recip_gain:
+            r_lo = jnp.broadcast_to(rc_ref[0][None], shape128)
+            r_hi = jnp.broadcast_to(rc_ref[1][None], shape128)
+            rec = jnp.where(
+                hi_side,
+                jnp.take_along_axis(r_hi, idx128, axis=1),
+                jnp.take_along_axis(r_lo, idx128, axis=1),
+            )[:, :hw]
+            gain = (y_eq + 1.0) * rec
+        else:
+            gain = (y_eq + 1.0) / (v.astype(jnp.float32) + 1.0)
         for c in range(3):
             o = jnp.round(jnp.clip(rgb_f[c] * gain, 0.0, 255.0)).astype(jnp.int32)
             out_ref[c, r] = o.astype(jnp.uint8)
@@ -195,7 +237,7 @@ def _apply_luma_stage5_fused(
     )
 
     return pl.pallas_call(
-        functools.partial(_apply_luma_kernel5_fused, ncx, nb),
+        functools.partial(_apply_luma_kernel5_fused, ncx, nb, _RECIP_GAIN),
         grid=(b, ncy // nb),
         in_specs=[
             pl.BlockSpec(
@@ -210,6 +252,7 @@ def _apply_luma_stage5_fused(
             ),
             pl.BlockSpec((rows, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (None, 3, nb, rows, hw),
@@ -218,7 +261,7 @@ def _apply_luma_stage5_fused(
         ),
         out_shape=jax.ShapeDtypeStruct((b, 3, ncy, rows, hw), jnp.uint8),
         interpret=interpret,
-    )(rgb5, lane_luts, xa_full, ya_full)
+    )(rgb5, lane_luts, xa_full, ya_full, _recip_table().reshape(2, 128))
 
 
 def _apply_luma_stage5(
@@ -243,7 +286,7 @@ def _apply_luma_stage5(
     )
 
     return pl.pallas_call(
-        functools.partial(_apply_luma_kernel5, ncx, nb),
+        functools.partial(_apply_luma_kernel5, ncx, nb, _RECIP_GAIN),
         grid=(b, ncy // nb),
         in_specs=[
             pl.BlockSpec(
@@ -263,6 +306,7 @@ def _apply_luma_stage5(
             ),
             pl.BlockSpec((rows, hw), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (None, 3, nb, rows, hw),
@@ -271,7 +315,7 @@ def _apply_luma_stage5(
         ),
         out_shape=jax.ShapeDtypeStruct((b, 3, ncy, rows, hw), jnp.uint8),
         interpret=interpret,
-    )(rgb5, y5, lane_luts, xa_full, ya_full)
+    )(rgb5, y5, lane_luts, xa_full, ya_full, _recip_table().reshape(2, 128))
 
 
 @functools.partial(
@@ -293,12 +337,15 @@ def clahe_luma_rgb_u8_planar(
 
     Requires `gather_supported` shapes (callers fall back to the XLA
     formulation otherwise). `fuse_luma=True` recomputes the luma plane inside
-    the apply kernel (one XLA luma pass feeds only the histograms) instead of
-    materializing it as a kernel operand — bit-identical in interpret mode
-    (tests/test_clahe_luma.py) and bit-exact on-chip (maxd 0). MEASURED
-    NEUTRAL (perf_lab lumafuse, 3 interleaved reps: base 2.48/2.53/2.71
-    ms/batch-8 vs fused 2.61/2.54/2.62): the y-plane operand's 16 MB of DMA
-    is not a bottleneck, so the default stays False (simpler kernel).
+    the apply kernel (one decimated XLA luma pass feeds only the histograms)
+    instead of materializing it as a kernel operand — bit-identical in
+    interpret mode (tests/test_clahe_luma.py) and bit-exact on-chip (maxd 0
+    at s=1/2/4). MEASURED LOSER at every s (perf_lab r4luma, interleaved
+    3-rep medians, v5e: s=1 3.46 vs 2.58 ms/batch-8, s=4 2.78 vs 1.66 —
+    the strided decimated-RGB luma pass lays out badly and the in-kernel
+    luma recompute adds VPU work that dwarfs the 16 MB y-plane DMA it
+    saves; the round-3 lumafuse run that measured neutral used the
+    full-plane luma pass). Default stays False.
 
     `hist_subsample=s` estimates the tile histograms from a within-cell
     s x s decimation of the luma plane (clip threshold and CDF scale follow
@@ -338,7 +385,7 @@ def clahe_luma_rgb_u8_planar(
             :, :, ::hist_subsample, :, ::hist_subsample
         ]
     area = 4 * y_cells.shape[2] * y_cells.shape[4]  # == (2hh)(2hw) at s=1
-    lane_luts = _tables_stage(y_cells, clip_limit, tiles_y, tiles_x, area)
+    lane_luts = _tables_stage(y_cells, clip_limit, tiles_y, tiles_x, area, interpret)
 
     rgb5 = xp_u8.reshape(b, 3, ncy, rows, hw)
     if fuse_luma:
@@ -400,7 +447,14 @@ def clahe_luma_rgb_u8_xla(
         y, clip_limit=clip_limit, tiles_x=tiles_x, tiles_y=tiles_y,
         hist_subsample=hist_subsample,
     )
-    gain = (y_eq.astype(jnp.float32) + 1.0) / (y.astype(jnp.float32) + 1.0)
+    if _RECIP_GAIN:
+        # Same 256-entry reciprocal table as the Pallas kernel, so the two
+        # formulations stay bit-identical (see _RECIP_GAIN).
+        gain = (y_eq.astype(jnp.float32) + 1.0) * jnp.take(
+            _recip_table(), y.astype(jnp.int32)
+        )
+    else:
+        gain = (y_eq.astype(jnp.float32) + 1.0) / (y.astype(jnp.float32) + 1.0)
     o = jnp.round(jnp.clip(xp.astype(jnp.float32) * gain[:, None], 0.0, 255.0))
     out = o.astype(jnp.uint8).transpose(0, 2, 3, 1)
     return out[0] if squeeze else out

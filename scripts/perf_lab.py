@@ -2921,6 +2921,296 @@ def run_r4luma():
             )
 
 
+@exp("r4tab")
+def run_r4tab():
+    """Fused Pallas tables kernel A/B (round 4): the post-histogram table
+    build (clip/redistribute/CDF/round/select/pack) as ONE program per image
+    (`cg._TABLES_KERNEL=True`) vs the ~15-dispatch XLA chain. Bit-identity
+    checked on-chip first; then interleaved medians across the exact planar
+    pipeline, the luma mode at s=1/4 (fused+unfused luma), and 4K (tiles=16
+    compile + shape check).
+    """
+    import retinex_tpu.ops.clahe_gather as cg
+    from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8_planar
+
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (8, 3, H, W), dtype=np.uint8))
+        for _ in range(4)
+    ]
+
+    def set_tab(flag):
+        cg._TABLES_KERNEL = flag
+        cg.clahe_rgb_u8_planar_gather5.clear_cache()
+        cg.clahe_rgb_u8_planar_gather6.clear_cache()
+        cg.clahe_rgb_u8_gather.clear_cache()
+        clahe_luma_rgb_u8_planar.clear_cache()
+
+    try:
+        # on-chip bit-identity: exact pipeline + luma at s=1 and s=4
+        set_tab(False)
+        a1 = np.asarray(cg.clahe_rgb_u8_planar_gather5(xs[0]))
+        a2 = np.asarray(clahe_luma_rgb_u8_planar(xs[0]))
+        a3 = np.asarray(clahe_luma_rgb_u8_planar(xs[0], hist_subsample=4))
+        set_tab(True)
+        b1 = np.asarray(cg.clahe_rgb_u8_planar_gather5(xs[0]))
+        b2 = np.asarray(clahe_luma_rgb_u8_planar(xs[0]))
+        b3 = np.asarray(clahe_luma_rgb_u8_planar(xs[0], hist_subsample=4))
+        for tag, a, b in (("exact", a1, b1), ("luma", a2, b2), ("luma-s4", a3, b3)):
+            print(
+                f"tables-kernel bit-identity {tag}: "
+                f"maxd {np.abs(a.astype(int) - b.astype(int)).max()}",
+                flush=True,
+            )
+
+        for rep in range(3):
+            for flag in (False, True):
+                set_tab(flag)
+                measure(f"[{rep}] exact planar5 tabkernel={flag}",
+                        cg.clahe_rgb_u8_planar_gather5, xs)
+                measure(f"[{rep}] luma s=1 tabkernel={flag}",
+                        clahe_luma_rgb_u8_planar, xs)
+                measure(
+                    f"[{rep}] luma s=4 tabkernel={flag}",
+                    functools.partial(clahe_luma_rgb_u8_planar, hist_subsample=4),
+                    xs,
+                )
+                measure(
+                    f"[{rep}] luma s=4 fused tabkernel={flag}",
+                    functools.partial(
+                        clahe_luma_rgb_u8_planar, hist_subsample=4, fuse_luma=True
+                    ),
+                    xs,
+                )
+
+        # 4K tiles=16 (n_tiles=256, n_cells=1024): compile + parity + timing
+        xs4k = [
+            jnp.asarray(rng.integers(0, 256, (2, 3, 2176, 3840), dtype=np.uint8))
+            for _ in range(4)
+        ]
+        set_tab(False)
+        a = np.asarray(clahe_luma_rgb_u8_planar(xs4k[0], tiles_x=16, tiles_y=16))
+        set_tab(True)
+        b = np.asarray(clahe_luma_rgb_u8_planar(xs4k[0], tiles_x=16, tiles_y=16))
+        print(
+            f"tables-kernel 4K bit-identity: "
+            f"maxd {np.abs(a.astype(int) - b.astype(int)).max()}",
+            flush=True,
+        )
+        for rep in range(2):
+            for flag in (False, True):
+                set_tab(flag)
+                measure(
+                    f"[{rep}] 4K luma t16 tabkernel={flag}",
+                    functools.partial(clahe_luma_rgb_u8_planar, tiles_x=16, tiles_y=16),
+                    xs4k,
+                    batch=2,
+                )
+    finally:
+        set_tab(False)
+
+
+@exp("r4b")
+def run_r4b():
+    """Round-4 second wave (on top of _HIST_CELLS + _TABLES_KERNEL defaults):
+
+    (a) _HIST_I8: int8 one-hot histogram operands (half the materialized
+        dot-operand traffic) on the exact pipeline and luma s=1;
+    (b) _RECIP_GAIN: division-free luma gain via a 256-entry reciprocal
+        lane table, luma s=1/s=4;
+    (c) combined flags at luma s=4 (the 5,000-fps bench point);
+    (d) in-graph prefix envelope of luma s=4 at the winners: luma pass only,
+        +hist, +tables kernel, full — locates the gap between the ~0.9 ms
+        op-count floor and the measured ~1.9 ms.
+    """
+    import retinex_tpu.ops.clahe_gather as cg
+    import retinex_tpu.ops.clahe_luma as cl
+
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (8, 3, H, W), dtype=np.uint8))
+        for _ in range(4)
+    ]
+
+    def clear():
+        cg.clahe_rgb_u8_planar_gather5.clear_cache()
+        cl.clahe_luma_rgb_u8_planar.clear_cache()
+
+    def set_flags(i8=False, recip=False):
+        cg._HIST_I8 = i8
+        cl._RECIP_GAIN = recip
+        clear()
+
+    try:
+        # on-chip bit-identity of the i8 hist (recip checked vs oracle on CPU)
+        set_flags()
+        a1 = np.asarray(cg.clahe_rgb_u8_planar_gather5(xs[0]))
+        set_flags(i8=True)
+        b1 = np.asarray(cg.clahe_rgb_u8_planar_gather5(xs[0]))
+        print(f"i8-hist bit-identity exact: maxd "
+              f"{np.abs(a1.astype(int) - b1.astype(int)).max()}", flush=True)
+
+        for rep in range(3):
+            for i8 in (False, True):
+                set_flags(i8=i8)
+                measure(f"[{rep}] exact planar5 i8={i8}",
+                        cg.clahe_rgb_u8_planar_gather5, xs)
+                measure(f"[{rep}] luma s=1 i8={i8}", cl.clahe_luma_rgb_u8_planar, xs)
+            for recip in (False, True):
+                set_flags(recip=recip)
+                measure(
+                    f"[{rep}] luma s=4 recip={recip}",
+                    functools.partial(cl.clahe_luma_rgb_u8_planar, hist_subsample=4),
+                    xs,
+                )
+            set_flags(i8=True, recip=True)
+            measure(
+                f"[{rep}] luma s=4 i8+recip",
+                functools.partial(cl.clahe_luma_rgb_u8_planar, hist_subsample=4),
+                xs,
+            )
+
+        # (d) in-graph prefix envelope at luma s=4, default flags
+        set_flags()
+        s = 4
+        ncy, ncx = 2 * TILES, 2 * TILES
+        hh, hw = H // ncy, W // ncx
+        rows = hh * ncx
+
+        @jax.jit
+        def p_luma(xp):
+            return cl._luma_u8(xp)
+
+        @jax.jit
+        def p_hist(xp):
+            y = cl._luma_u8(xp)
+            yc = y.reshape(8, ncy, hh, ncx, hw)[:, :, ::s, :, ::s]
+            return cg._hist_cells(yc, TILES, TILES)
+
+        @jax.jit
+        def p_tables(xp):
+            y = cl._luma_u8(xp)
+            yc = y.reshape(8, ncy, hh, ncx, hw)[:, :, ::s, :, ::s]
+            area = 4 * yc.shape[2] * yc.shape[4]
+            return cg._tables_stage(yc, 2.0, TILES, TILES, area)
+
+        for rep in range(3):
+            measure(f"[{rep}] s4 prefix: luma", p_luma, xs)
+            measure(f"[{rep}] s4 prefix: +hist", p_hist, xs)
+            measure(f"[{rep}] s4 prefix: +tables", p_tables, xs)
+            measure(
+                f"[{rep}] s4 prefix: full",
+                functools.partial(cl.clahe_luma_rgb_u8_planar, hist_subsample=4),
+                xs,
+            )
+    finally:
+        set_flags()
+
+
+@exp("netroof")
+def run_netroof():
+    """Whole-graph roofline for the packed net path (VERDICT r3 item 7):
+    per-stage ms on-chip AND per-stage FLOPs via CPU-backend cost analysis
+    -> achieved TF/s per stage, so '36 fps/chip is the emitter ceiling' is
+    an audited claim rather than an extrapolation from FAM1 alone.
+    RETINEX_PERF_BATCH overrides the batch (default 8, the production point).
+    """
+    from retinex_tpu.models.packed_inference import PackedRetinex, _conv_auto
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+    from retinex_tpu.ops.resize import resize_bilinear, resize_scale
+    from retinex_tpu.ops.s2d import s2d
+
+    batch = int(os.environ.get("RETINEX_PERF_BATCH", "8"))
+    dtype = jnp.bfloat16
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    pk = PackedRetinex(model, variables)
+
+    rng = np.random.default_rng(0)
+    inputs = [
+        jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32), dtype=dtype)
+        for _ in range(3)
+    ]
+    xps = [s2d(x).astype(dtype) for x in inputs]
+
+    @jax.jit
+    def full(x):
+        return pk(x)[0]
+
+    @jax.jit
+    def ie_fullres(xp):
+        x1p = _conv_auto(xp, pk.k_input, bias=pk.b_input, relu=True)
+        x2 = pk._enc1(x1p)
+        d1p = pk._dec1(x2 * 0.5) + x1p
+        r = _conv_auto(d1p, pk.k_rescv, bias=pk.b_rescv, relu=True)
+        return _conv_auto(r, pk.k_resout, bias=pk.b_resout)
+
+    @jax.jit
+    def ie_middle(xp):
+        x1p = _conv_auto(xp, pk.k_input, bias=pk.b_input, relu=True)
+        x2 = pk._enc1(x1p)
+        return model.apply(variables, x2, False, method=lambda m, a, t: m.ie_net.middle(a, t))
+
+    @jax.jit
+    def scale1_conv(xp):
+        return _conv_auto(xp, pk.k_s1conv, bias=pk.b_s1conv, relu=True)
+
+    f1s = [scale1_conv(xp) for xp in xps]
+
+    @jax.jit
+    def fam_only(f1p):
+        return pk._fam_packed(f1p, pk.fam1)
+
+    @jax.jit
+    def scale23(x):
+        h, w = x.shape[1], x.shape[2]
+        x2s = resize_scale(x, 0.5)
+        x3s = resize_scale(x, 0.25)
+        f2 = model.apply(variables, x2s, method=lambda m, a: m.scale2(a))
+        f3 = model.apply(variables, x3s, method=lambda m, a: m.scale3(a))
+        return s2d(resize_bilinear(f2, h, w)), s2d(resize_bilinear(f3, h, w))
+
+    stages = [
+        ("full packed graph", full, inputs),
+        ("ie full-res (in+enc1+dec1+head)", ie_fullres, xps),
+        ("ie enc1+middle (enc2/3+bottleneck)", ie_middle, xps),
+        ("scale1 conv", scale1_conv, xps),
+        ("scale1 FAM", fam_only, f1s),
+        ("scale2/3 towers+resizes", scale23, inputs),
+    ]
+
+    def stage_flops(fn, sample):
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                return float(
+                    fn.lower(jax.device_put(sample, cpu)).compile().cost_analysis()["flops"]
+                )
+        except Exception as e:
+            print(f"  (cost analysis failed: {type(e).__name__}: {e})", flush=True)
+            return None
+
+    results = []
+    for rep in range(3):
+        for name, fn, ins in stages:
+            dt = measure(f"[{rep}] {name}", fn, ins, batch=batch)
+            results.append((name, dt))
+
+    print("\n--- roofline table (median ms, FLOPs from CPU cost analysis) ---",
+          flush=True)
+    for name, fn, ins in stages:
+        ts = sorted(dt for n, dt in results if n == name)
+        med = ts[len(ts) // 2]
+        fl = stage_flops(fn, ins[0])
+        tfs = (fl / med) / 1e12 if fl else float("nan")
+        mxu = tfs / 197.0 * 100.0 if fl else float("nan")
+        print(
+            f"{name:38s} {med * 1e3:8.2f} ms  "
+            f"{(fl or 0) / 1e9:9.1f} GFLOP  {tfs:6.1f} TF/s  {mxu:5.1f}% MXU",
+            flush=True,
+        )
+
+
 def main():
     names = sys.argv[1:] or ["base"]
     if names == ["all"]:

@@ -263,3 +263,55 @@ def test_newton_gamma_accuracy():
         y64 <= 0.0031308, y64 * 12.92, 1.055 * y64 ** (1 / 2.4) - 0.055
     )
     assert np.abs(got - want).max() < 0.001
+
+
+def test_tables_kernel_bit_identity(monkeypatch):
+    """The fused Pallas tables kernel (_TABLES_KERNEL=True: clip/redistribute/
+    CDF/round/neighbour-select/byte-pack in one program) is bit-identical to
+    the XLA op chain — on random, flat (max redistribute excess), and
+    few-bin images, through the exact pipeline AND the luma mode at s=1/4."""
+    import retinex_tpu.ops.clahe_gather as cg
+    from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8_planar
+
+    rng = np.random.default_rng(3)
+    cases = [
+        rng.integers(0, 256, (2, 3, 128, 1024), dtype=np.uint8),
+        np.full((1, 3, 128, 1024), 37, dtype=np.uint8),
+        (rng.integers(0, 3, (1, 3, 128, 1024)) * 127).astype(np.uint8),
+    ]
+
+    def run(x, kernel):
+        monkeypatch.setattr(cg, "_TABLES_KERNEL", kernel)
+        cg.clahe_rgb_u8_planar_gather5.clear_cache()
+        clahe_luma_rgb_u8_planar.clear_cache()
+        return (
+            np.asarray(cg.clahe_rgb_u8_planar_gather5(x, interpret=True)),
+            np.asarray(clahe_luma_rgb_u8_planar(x, interpret=True)),
+            np.asarray(
+                clahe_luma_rgb_u8_planar(x, interpret=True, hist_subsample=4)
+            ),
+        )
+
+    for case in cases:
+        x = jnp.asarray(case)
+        for a, b in zip(run(x, False), run(x, True)):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_tables_kernel_divmath_exhaustive():
+    """The kernel evaluates OpenCV's two data-dependent integer divisions
+    (256 // residual, bins // step) in f32; exact for every residual in
+    [0, 256) — the full domain (residual = excess % 256)."""
+    bins = np.arange(256)
+    for residual in range(256):
+        step = max(256 // max(residual, 1), 1)
+        want = (bins % step == 0) & (bins // step < residual)
+        step_f = max(
+            np.floor(np.float32(256.0) / np.float32(max(residual, 1))),
+            np.float32(1.0),
+        )
+        q = np.floor(bins.astype(np.float32) / step_f)
+        got = (bins.astype(np.float32) - q * step_f == 0.0) & (
+            q < np.float32(residual)
+        )
+        np.testing.assert_array_equal(want, got, err_msg=f"residual={residual}")
