@@ -213,7 +213,22 @@ def run(config: Config):
     raise ValueError(f"Unknown mode: {config.mode}")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: big fused 640px+ graphs take minutes to
+    compile through the axon tunnel; the cache makes re-runs (resume, repeated
+    benchmarks, the convergence recipe) start in seconds."""
+    import jax
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass  # older jax without the knob
+
+
 def main(argv=None):
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(
         description="retinex-tpu: TPU-native low-light image enhancement (UP-Retinex capabilities)"
     )

@@ -403,20 +403,37 @@ def _fwd_kernel(hh, hw, fastmath, nb, rgb_ref, dg_ref, out_ref, poly=False):
 _HIST_I8 = True
 
 
-def _hist_dot(v: jnp.ndarray, spec: str) -> jnp.ndarray:
+def _hist_dot(v: jnp.ndarray, spec: str, lane_stride: int = 1) -> jnp.ndarray:
     """Shared one-hot nibble contraction: v int32 [..., px-axes] -> f32/i32
-    histogram via `spec` einsum over {bf16, int8} one-hots (_HIST_I8)."""
+    histogram via `spec` einsum over {bf16, int8} one-hots (_HIST_I8).
+
+    `lane_stride=s` implements the within-cell column decimation WITHOUT the
+    strided slice (a lane-axis gather, a real relayout cost at s>1 —
+    perf_lab r4b prefix envelope): the one-hot of every column with
+    w % s != 0 is masked to zero inside the compare fusion, so those pixels
+    simply don't count. Bit-identical to slicing `[..., ::s]` first.
+    """
     iota = jnp.arange(16, dtype=jnp.int32)
+    hi = (v >> 4)[..., None] == iota
+    lo = (v & 15)[..., None] == iota
+    if lane_stride > 1:
+        w = v.shape[-1]
+        mask = (jnp.arange(w, dtype=jnp.int32) % lane_stride == 0)[:, None]
+        hi = hi & mask
     if _HIST_I8:
-        hi_oh = ((v >> 4)[..., None] == iota).astype(jnp.int8)
-        lo_oh = ((v & 15)[..., None] == iota).astype(jnp.int8)
-        return jnp.einsum(spec, hi_oh, lo_oh, preferred_element_type=jnp.int32)
-    hi_oh = ((v >> 4)[..., None] == iota).astype(jnp.bfloat16)
-    lo_oh = ((v & 15)[..., None] == iota).astype(jnp.bfloat16)
-    return jnp.einsum(spec, hi_oh, lo_oh, preferred_element_type=jnp.float32)
+        return jnp.einsum(
+            spec, hi.astype(jnp.int8), lo.astype(jnp.int8),
+            preferred_element_type=jnp.int32,
+        )
+    return jnp.einsum(
+        spec, hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
 
 
-def _hist_cells(l_cells: jnp.ndarray, tiles_y: int, tiles_x: int) -> jnp.ndarray:
+def _hist_cells(
+    l_cells: jnp.ndarray, tiles_y: int, tiles_x: int, lane_stride: int = 1
+) -> jnp.ndarray:
     """Per-tile histograms straight from the cell view — no tile transpose.
 
     l_cells: [b, ncy, hh', ncx, hw'] uint8 (possibly hist-decimated). The
@@ -430,7 +447,7 @@ def _hist_cells(l_cells: jnp.ndarray, tiles_y: int, tiles_x: int) -> jnp.ndarray
     """
     b, ncy, hh, ncx, hw = l_cells.shape
     v = l_cells.reshape(b, tiles_y, 2, hh, tiles_x, 2, hw).astype(jnp.int32)
-    hist16 = _hist_dot(v, "byahxcwi,byahxcwj->byxij")
+    hist16 = _hist_dot(v, "byahxcwi,byahxcwj->byxij", lane_stride)
     return hist16.reshape(b, tiles_y, tiles_x, HIST_SIZE).astype(jnp.int32)
 
 
@@ -520,10 +537,15 @@ def clahe_rgb_u8_planar_gather6(
 
     rgb6 = xp_u8.reshape(b, 3, ncy, hh, ncx, hw)
     lab6 = _fwd_stage(rgb6, interpret)
-    lab6 = jax.lax.optimization_barrier(lab6)
-    l_cells = lab6[0][:, :, ::hist_subsample, :, ::hist_subsample]
-    area = 4 * l_cells.shape[2] * l_cells.shape[4]  # == (2hh)(2hw) at s=1
-    lane_luts = _tables_stage(l_cells, clip_limit, tiles_y, tiles_x, area, interpret)
+    lab6 = _maybe_barrier(lab6)
+    # Rows decimate via a cheap sublane slice; columns via the in-contraction
+    # lane mask (_hist_dot lane_stride) — no lane-axis gather materializes.
+    l_cells = lab6[0][:, :, ::hist_subsample]
+    n_cols = (hw + hist_subsample - 1) // hist_subsample
+    area = 4 * l_cells.shape[2] * n_cols  # == (2hh)(2hw) at s=1
+    lane_luts = _tables_stage(
+        l_cells, clip_limit, tiles_y, tiles_x, area, interpret, hist_subsample
+    )
     rgbp = _apply_stage(lab6, lane_luts, interpret)
     return rgbp.reshape(b, 3, h, w)
 
@@ -603,6 +625,16 @@ _HIST_CELLS = True
 # 3/3, luma s=4 2/3; 4K tiles=16 neutral; bit-identity maxd 0 on-chip
 # everywhere including 4K.
 _TABLES_KERNEL = True
+
+# Stage barriers (fwd -> tables, tables -> apply). Round-2 measured them a
+# win (5.03 -> 4.16 ms, perf_lab decomp) when the tables stage was ~15 XLA
+# dispatches; with the fused tables kernel the graph between the Pallas
+# calls is just the hist dot, so re-A/B'd in round 4 (perf_lab r4c).
+_BARRIERS = True
+
+
+def _maybe_barrier(x):
+    return jax.lax.optimization_barrier(x) if _BARRIERS else x
 
 
 def _tables_kernel(clip, lut_scale, n_cells, hist_ref, tri_ref, st_ref, out_ref):
@@ -703,6 +735,7 @@ def _tables_stage(
     tiles_x: int,
     area: int,
     interpret: bool = False,
+    lane_stride: int = 1,
 ) -> jnp.ndarray:
     """Histograms + OpenCV LUT build + byte-packed neighbour lane tables.
 
@@ -721,10 +754,14 @@ def _tables_stage(
     the kernels' schedules (measured 5.03 -> 4.16 ms/batch, perf_lab decomp
     E vs E2): each stage compiles to its own clean program region.
     """
+    if lane_stride > 1 and not _HIST_CELLS:
+        # The planar-hist fallback has no masked form: materialize the slice.
+        l_cells = l_cells[..., ::lane_stride]
+        lane_stride = 1
     b, ncy, hh, ncx, hw = l_cells.shape
     h, w = ncy * hh, ncx * hw
     if _HIST_CELLS:
-        hist = _hist_cells(l_cells, tiles_y, tiles_x)
+        hist = _hist_cells(l_cells, tiles_y, tiles_x, lane_stride)
     else:
         hist = _hist_planar(l_cells.reshape(b, h, w), tiles_y, tiles_x)
     n_cells = 4 * tiles_y * tiles_x
@@ -758,7 +795,7 @@ def _tables_stage(
             out_shape=jax.ShapeDtypeStruct((b, n_cells, HIST_SIZE), jnp.int32),
             interpret=interpret,
         )(hist.reshape(b, n_tiles, HIST_SIZE), tri, st)
-        return jax.lax.optimization_barrier(packed.reshape(b, ncy, ncx, 2, 128))
+        return _maybe_barrier(packed.reshape(b, ncy, ncx, 2, 128))
 
     luts = _luts_from_hist(hist, clip_limit, area)  # [b, ty, tx, 256] int32
     luts_flat = luts.reshape(b, n_tiles, HIST_SIZE)
@@ -778,7 +815,7 @@ def _tables_stage(
     ).astype(jnp.int32)
     lo, hi = both[:, :n_cells], both[:, n_cells:]
     packed = lo | (hi << 16)
-    return jax.lax.optimization_barrier(packed.reshape(b, ncy, ncx, 2, 128))
+    return _maybe_barrier(packed.reshape(b, ncy, ncx, 2, 128))
 
 
 def _apply_stage(
@@ -1061,14 +1098,17 @@ def clahe_rgb_u8_planar_gather5(
 
     rgb5 = xp_u8.reshape(b, 3, ncy, rows, hw)
     lab5 = _fwd_stage5(rgb5, interpret)
-    lab5 = jax.lax.optimization_barrier(lab5)
+    lab5 = _maybe_barrier(lab5)
     # L plane only into cell form (reshaping the full Lab tensor to 6D for
     # the tables stage measured ~1 ms/batch of pure relayout copy).
-    l_cells = lab5[0].reshape(b, ncy, hh, ncx, hw)[
-        :, :, ::hist_subsample, :, ::hist_subsample
-    ]
-    area = 4 * l_cells.shape[2] * l_cells.shape[4]  # == (2hh)(2hw) at s=1
-    lane_luts = _tables_stage(l_cells, clip_limit, tiles_y, tiles_x, area, interpret)
+    # Rows decimate via a cheap sublane slice; columns via the in-contraction
+    # lane mask (_hist_dot lane_stride) — no lane-axis gather materializes.
+    l_cells = lab5[0].reshape(b, ncy, hh, ncx, hw)[:, :, ::hist_subsample]
+    n_cols = (hw + hist_subsample - 1) // hist_subsample
+    area = 4 * l_cells.shape[2] * n_cols  # == (2hh)(2hw) at s=1
+    lane_luts = _tables_stage(
+        l_cells, clip_limit, tiles_y, tiles_x, area, interpret, hist_subsample
+    )
     rgbp = _apply_stage5(lab5, lane_luts, ncx, interpret)
     return rgbp.reshape(b, 3, h, w)
 

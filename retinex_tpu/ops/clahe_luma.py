@@ -379,13 +379,20 @@ def clahe_luma_rgb_u8_planar(
         y_cells = jnp.clip(
             jnp.round(_LUMA_R * r_ + _LUMA_G * g_ + _LUMA_B * b_), 0.0, 255.0
         ).astype(jnp.uint8)
+        lane_stride = 1
+        area = 4 * y_cells.shape[2] * y_cells.shape[4]
     else:
         y = _luma_u8(xp_u8)  # [b, h, w]
-        y_cells = y.reshape(b, ncy, hh, ncx, hw)[
-            :, :, ::hist_subsample, :, ::hist_subsample
-        ]
-    area = 4 * y_cells.shape[2] * y_cells.shape[4]  # == (2hh)(2hw) at s=1
-    lane_luts = _tables_stage(y_cells, clip_limit, tiles_y, tiles_x, area, interpret)
+        # Rows decimate via a cheap sublane slice; columns via the
+        # in-contraction lane mask (ops/clahe_gather._hist_dot) — no
+        # lane-axis gather materializes.
+        y_cells = y.reshape(b, ncy, hh, ncx, hw)[:, :, ::hist_subsample]
+        lane_stride = hist_subsample
+        n_cols = (hw + hist_subsample - 1) // hist_subsample
+        area = 4 * y_cells.shape[2] * n_cols  # == (2hh)(2hw) at s=1
+    lane_luts = _tables_stage(
+        y_cells, clip_limit, tiles_y, tiles_x, area, interpret, lane_stride
+    )
 
     rgb5 = xp_u8.reshape(b, 3, ncy, rows, hw)
     if fuse_luma:

@@ -13,6 +13,7 @@ Mirrors the reference training flow (trainers/train.py:189-396) TPU-first:
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from datetime import datetime
@@ -363,6 +364,16 @@ def _train_impl(config: Config, preempted: dict) -> dict:
     return {"best_loss": best_loss, "epochs_run": epochs_run, "save_dir": config.save_dir}
 
 
+@functools.partial(jax.jit, static_argnames="model")
+def _viz_forward(model, variables, batch):
+    """Jitted eval forward for sample visualizations. Un-jitted model.apply
+    was fine on CPU but pathological through the axon TPU tunnel (every op a
+    separate dispatch: the epoch-0 visualization stalled a real 640px run
+    for 25+ minutes, round 4); flax Modules hash, so one compile per shape
+    serves the whole run."""
+    return model.apply(variables, batch, train=False)
+
+
 def _save_sample_visualizations(model, state, loader, mesh, epoch, save_dir):
     """Sample grids every 10 epochs (reference: trainers/train.py:474-517)."""
     vis_dir = os.path.join(save_dir, "visualizations")
@@ -375,7 +386,7 @@ def _save_sample_visualizations(model, state, loader, mesh, epoch, save_dir):
             if batch_idx >= 2:
                 break
             batch = jnp.asarray(host_batch[:2].astype(np.float32) / 255.0)
-            enhanced, _refl, illu = model.apply(variables, batch, train=False)
+            enhanced, _refl, illu = _viz_forward(model, variables, batch)
             for i in range(min(2, batch.shape[0])):
                 visualize_results(
                     batch[i],

@@ -3211,6 +3211,101 @@ def run_netroof():
         )
 
 
+@exp("r4c")
+def run_r4c():
+    """Masked-lane histogram decimation A/B (round 4): the production
+    pipelines now decimate columns via the in-contraction lane mask
+    (`cg._hist_dot lane_stride`) instead of a `[..., ::s]` lane-axis gather.
+    Compare against a local replica of the old materialized-slice pipeline,
+    bit-identity first; plus the exact path at s=1 (mask inactive — guards
+    against a regression from the plumbing).
+    """
+    import retinex_tpu.ops.clahe_gather as cg
+    import retinex_tpu.ops.clahe_luma as cl
+
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (8, 3, H, W), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    ncy, ncx = 2 * TILES, 2 * TILES
+    hh, hw = H // ncy, W // ncx
+    rows = hh * ncx
+
+    def old_luma(xp, s):
+        b = xp.shape[0]
+        y = cl._luma_u8(xp)
+        y_cells = y.reshape(b, ncy, hh, ncx, hw)[:, :, ::s, :, ::s]
+        area = 4 * y_cells.shape[2] * y_cells.shape[4]
+        luts = cg._tables_stage(y_cells, 2.0, TILES, TILES, area)
+        rgb5 = xp.reshape(b, 3, ncy, rows, hw)
+        y5 = y.reshape(b, ncy, rows, hw)
+        return cl._apply_luma_stage5(rgb5, y5, luts, ncx).reshape(b, 3, H, W)
+
+    for s in (2, 4):
+        a = np.asarray(cl.clahe_luma_rgb_u8_planar(xs[0], hist_subsample=s))
+        b_ = np.asarray(jax.jit(functools.partial(old_luma, s=s))(xs[0]))
+        print(
+            f"masked-vs-sliced s={s} bit-identity: maxd "
+            f"{np.abs(a.astype(int) - b_.astype(int)).max()}",
+            flush=True,
+        )
+
+    for rep in range(3):
+        for s in (2, 4):
+            measure(
+                f"[{rep}] luma s={s} masked (new)",
+                functools.partial(cl.clahe_luma_rgb_u8_planar, hist_subsample=s),
+                xs,
+            )
+            measure(
+                f"[{rep}] luma s={s} sliced (old)",
+                jax.jit(functools.partial(old_luma, s=s)),
+                xs,
+            )
+        measure(f"[{rep}] exact planar5 s=1", cg.clahe_rgb_u8_planar_gather5, xs)
+        measure(f"[{rep}] luma s=1", cl.clahe_luma_rgb_u8_planar, xs)
+
+    # Barriers on/off at the fused-tables graph + NHWC routing re-check
+    # (the official bench u8 metric is NHWC ingest).
+    xs_nhwc = [jnp.transpose(v, (0, 2, 3, 1)) for v in xs]
+
+    @jax.jit
+    def nhwc_5d(x):
+        xp = x.transpose(0, 3, 1, 2)
+        return cg.clahe_rgb_u8_planar_gather5(xp).transpose(0, 2, 3, 1)
+
+    def set_barriers(flag):
+        cg._BARRIERS = flag
+        cg.clahe_rgb_u8_planar_gather5.clear_cache()
+        cg.clahe_rgb_u8_gather.clear_cache()
+        cl.clahe_luma_rgb_u8_planar.clear_cache()
+        nhwc_5d.clear_cache()
+
+    try:
+        set_barriers(False)
+        a = np.asarray(cg.clahe_rgb_u8_planar_gather5(xs[0]))
+        set_barriers(True)
+        b2 = np.asarray(cg.clahe_rgb_u8_planar_gather5(xs[0]))
+        print(f"barriers on/off bit-identity: maxd "
+              f"{np.abs(a.astype(int) - b2.astype(int)).max()}", flush=True)
+        for rep in range(3):
+            for flag in (True, False):
+                set_barriers(flag)
+                measure(f"[{rep}] exact planar5 barriers={flag}",
+                        cg.clahe_rgb_u8_planar_gather5, xs)
+                measure(
+                    f"[{rep}] luma s=4 barriers={flag}",
+                    functools.partial(cl.clahe_luma_rgb_u8_planar, hist_subsample=4),
+                    xs,
+                )
+                measure(f"[{rep}] NHWC 6Dcore barriers={flag}",
+                        cg.clahe_rgb_u8_gather, xs_nhwc)
+                measure(f"[{rep}] NHWC 5Dcore barriers={flag}", nhwc_5d, xs_nhwc)
+    finally:
+        set_barriers(True)
+
+
 def main():
     names = sys.argv[1:] or ["base"]
     if names == ["all"]:
