@@ -736,6 +736,7 @@ def _tables_stage(
     area: int,
     interpret: bool = False,
     lane_stride: int = 1,
+    barrier_out: bool = True,
 ) -> jnp.ndarray:
     """Histograms + OpenCV LUT build + byte-packed neighbour lane tables.
 
@@ -795,7 +796,8 @@ def _tables_stage(
             out_shape=jax.ShapeDtypeStruct((b, n_cells, HIST_SIZE), jnp.int32),
             interpret=interpret,
         )(hist.reshape(b, n_tiles, HIST_SIZE), tri, st)
-        return _maybe_barrier(packed.reshape(b, ncy, ncx, 2, 128))
+        out = packed.reshape(b, ncy, ncx, 2, 128)
+        return _maybe_barrier(out) if barrier_out else out
 
     luts = _luts_from_hist(hist, clip_limit, area)  # [b, ty, tx, 256] int32
     luts_flat = luts.reshape(b, n_tiles, HIST_SIZE)
@@ -815,7 +817,8 @@ def _tables_stage(
     ).astype(jnp.int32)
     lo, hi = both[:, :n_cells], both[:, n_cells:]
     packed = lo | (hi << 16)
-    return _maybe_barrier(packed.reshape(b, ncy, ncx, 2, 128))
+    out = packed.reshape(b, ncy, ncx, 2, 128)
+    return _maybe_barrier(out) if barrier_out else out
 
 
 def _apply_stage(

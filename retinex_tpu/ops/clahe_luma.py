@@ -390,8 +390,13 @@ def clahe_luma_rgb_u8_planar(
         lane_stride = hist_subsample
         n_cols = (hw + hist_subsample - 1) // hist_subsample
         area = 4 * y_cells.shape[2] * n_cols  # == (2hh)(2hw) at s=1
+    # barrier_out=False: the luma pipeline has no fwd-side barrier, and the
+    # tables->apply barrier measured a consistent 3/3 LOSS here (perf_lab
+    # r4c: s=4 1.44-1.54 ms with vs 1.30-1.45 without); the exact-Lab
+    # pipelines keep their barriers (2/3 win there).
     lane_luts = _tables_stage(
-        y_cells, clip_limit, tiles_y, tiles_x, area, interpret, lane_stride
+        y_cells, clip_limit, tiles_y, tiles_x, area, interpret, lane_stride,
+        barrier_out=False,
     )
 
     rgb5 = xp_u8.reshape(b, 3, ncy, rows, hw)

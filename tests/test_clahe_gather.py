@@ -315,3 +315,21 @@ def test_tables_kernel_divmath_exhaustive():
             q < np.float32(residual)
         )
         np.testing.assert_array_equal(want, got, err_msg=f"residual={residual}")
+
+
+def test_tables_kernel_tiles16(monkeypatch):
+    """The fused tables kernel at tiles=16 (the 4K configuration: n_tiles=256,
+    n_cells=1024) matches the XLA chain bit-for-bit on a small t16 shape."""
+    import retinex_tpu.ops.clahe_gather as cg
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, 256, (1, 3, 512, 512), dtype=np.uint8))
+
+    def run(kernel):
+        monkeypatch.setattr(cg, "_TABLES_KERNEL", kernel)
+        cg.clahe_rgb_u8_planar_gather5.clear_cache()
+        return np.asarray(
+            cg.clahe_rgb_u8_planar_gather5(x, tiles_x=16, tiles_y=16, interpret=True)
+        )
+
+    np.testing.assert_array_equal(run(False), run(True))
