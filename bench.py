@@ -67,14 +67,17 @@ def measure_batch_seconds(fn, inputs, k_small=1, k_big=9, repeats=3):
     return max((t2 - t1) / (k_big - k_small), 1e-9)
 
 
-def measure_group(variants, k_big=9, repeats=3):
+def measure_group(variants, k_big=9, repeats=5):
     """Interleaved-median measurement for noise-floor (<10 ms) pipelines.
 
     variants: [(name, fn, inputs)]. Every variant is compiled/warmed first,
     then the slope measurement runs rep-major (rep 0 of all variants, rep 1
     of all, ...) so host/tunnel load drifts hit all variants alike — the
     calibrated perf_lab methodology (BENCH_NOTES.md round 3; single-ordering
-    min-of-3 moved 40% between rounds on unchanged code).
+    min-of-3 moved 40% between rounds on unchanged code). 5 reps: the
+    per-rep cost is milliseconds (compiles dominate the group) and the
+    median of 5 shrugs off the occasional axon outlier rep that a median
+    of 3 cannot (r4 preview: one slow rep put spread 0.63 on luma s=4).
 
     Returns {name: (median_seconds, spread)} with spread = (max-min)/median.
     """
