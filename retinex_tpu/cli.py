@@ -241,6 +241,7 @@ def main(argv=None):
 
 def simple_enhance_main(argv=None):
     """Mirror of the reference's standalone simple_enhance.py CLI."""
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(description="Simple enhance (no training required)")
     parser.add_argument("--input", type=str, required=True)
     parser.add_argument("--output", type=str, default="./results")
