@@ -5,11 +5,12 @@
 #
 #   bash scripts/tpu_pending.sh 2>&1 | tee /tmp/tpu_pending.log
 #
-# Round-3 status: EMPTY — every queued measurement ran (see BENCH_NOTES.md
-# "Round 3 (late)" sections): lumafast/lumastages/lumafuse, gather parity
-# re-check post precision fix (unchanged), bench.py full set (recorded),
-# netstages+netcfg at b8 (defaults all confirmed), bigbatch (b16=36 fps
-# saturation, b24/32 OOM), packed-train A/B (default flipped ON).
+# Round-4 status: EMPTY — every queued measurement ran (see BENCH_NOTES.md
+# "Round 4" sections): r4exact/r4luma/r4tab/r4b/r4c (hist-cells, tables
+# kernel, int8 one-hots, masked-lane decimation, barriers — defaults all
+# flipped per the interleaved medians), labsub revalidation at 3-step cbrt,
+# netroof (whole-graph roofline), the recorded convergence run, two full
+# bench.py sets, and the 640px b12/b16 train batch-scaling probe.
 #
 # Template for queueing new measurements:
 
