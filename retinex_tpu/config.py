@@ -125,11 +125,13 @@ class Config:
     # when resuming (it changes the optimizer-state pytree).
     grad_accum: int = 1
     # Rematerialized training (jax.checkpoint via nn.remat on the IE-net
-    # blocks and scale towers): recompute block activations in the backward
-    # pass instead of storing them — trades ~1/3 more FLOPs for a large HBM
-    # cut, enabling bigger batches / image sizes. Losses, gradients, and BN
-    # stats match the standard step to float-reassociation precision
-    # (tests/test_remat.py).
+    # blocks and scale towers; on the packed train step each packed
+    # resolution stage is checkpointed, models/packed_train.py): recompute
+    # block activations in the backward pass instead of storing them — trades
+    # ~1/3 more FLOPs for a large HBM cut, enabling bigger batches / image
+    # sizes (640px packed b16 fits only with remat). Losses, gradients, and
+    # BN stats match the standard step to float-reassociation precision
+    # (tests/test_remat.py, tests/test_packed_train.py).
     remat: bool = False
     # Spatial (H-axis) sharding for net predict (parallel/spatial.py): split a
     # single huge frame across all mesh devices; GSPMD inserts the conv halo

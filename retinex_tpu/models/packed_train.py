@@ -190,24 +190,43 @@ def packed_train_apply(model, params, batch_stats, x, dropout_rng):
 
     returning ((enhanced, reflectance, illu), new_batch_stats).
     Requires H, W divisible by 32 (letterbox guarantees this in training).
+
+    When the model was built with remat=True, each resolution stage (full-res
+    encode, enc2, dec2, dec1+illumination, the two packed scale towers, and
+    the fusion head) is wrapped in jax.checkpoint: the backward pass
+    recomputes the stage activations instead of storing them, cutting peak
+    HBM roughly in half at 640px (the /4-and-below inner body and scale3 run
+    through the Flax modules, which nn.remat already wraps). Gradients are
+    identical to the non-remat packed step (tests/test_packed_train.py).
     """
     dtype = model.dtype
+    remat = getattr(model, "remat", False)
+    ckpt = jax.checkpoint if remat else (lambda f: f)
     p = params
     ie, ie_s = p["ie_net"], batch_stats["ie_net"]
     ie_upd = {}
 
     xp = s2d(x).astype(dtype)
-    x1p = jax.nn.relu(
-        conv_s2d(xp, pack_kernel_s1_t(ie["input_layer"]["kernel"]),
-                 bias=ie["input_layer"]["bias"])
+
+    @ckpt
+    def _full_res_encode(xp_, p_in, p_enc1, s_enc1):
+        x1p_ = jax.nn.relu(
+            conv_s2d(xp_, pack_kernel_s1_t(p_in["kernel"]), bias=p_in["bias"])
+        )
+        x2_, upd_ = _enc_block_train(x1p_, p_enc1, s_enc1, model.use_preact)
+        return x1p_, x2_, upd_
+
+    x1p, x2, ie_upd["enc1"] = _full_res_encode(
+        xp, ie["input_layer"], ie["enc1"], ie_s["enc1"]
     )
-    x2, ie_upd["enc1"] = _enc_block_train(x1p, ie["enc1"], ie_s["enc1"], model.use_preact)
 
     # middle: enc2/dec2 packed; the /4-and-below body via the Flax modules
     # (train-mode BN + ASPP dropout; the dropout rng path matches the full
     # apply because the module tree and rng fold path are identical).
     x2p = s2d(x2)
-    x3, ie_upd["enc2"] = _enc_block_train(x2p, ie["enc2"], ie_s["enc2"], model.use_preact)
+    x3, ie_upd["enc2"] = ckpt(
+        lambda a, b, c: _enc_block_train(a, b, c, model.use_preact)
+    )(x2p, ie["enc2"], ie_s["enc2"])
     d3, inner_upd = model.apply(
         {"params": params, "batch_stats": batch_stats},
         x3,
@@ -224,37 +243,41 @@ def packed_train_apply(model, params, batch_stats, x, dropout_rng):
     )
     for key in inner_keys:
         ie_upd[key] = inner_upd["batch_stats"]["ie_net"][key]
-    dec2_out, ie_upd["dec2"] = _up_block_train(d3, ie["dec2"], ie_s["dec2"])
+    dec2_out, ie_upd["dec2"] = ckpt(_up_block_train)(d3, ie["dec2"], ie_s["dec2"])
     d2 = d2s(dec2_out + x2p)
 
-    dec1_out, ie_upd["dec1"] = _up_block_train(d2, ie["dec1"], ie_s["dec1"])
-    d1p = dec1_out + x1p
-    r = jax.nn.relu(
-        conv_s2d(d1p, pack_kernel_s1_t(ie["residual_conv"]["kernel"]),
-                 bias=ie["residual_conv"]["bias"])
+    @ckpt
+    def _dec1_illu(d2_, x1p_, x_, p_dec1, s_dec1, p_rc, p_ro):
+        dec1_out_, upd_ = _up_block_train(d2_, p_dec1, s_dec1)
+        d1p_ = dec1_out_ + x1p_
+        r_ = jax.nn.relu(
+            conv_s2d(d1p_, pack_kernel_s1_t(p_rc["kernel"]), bias=p_rc["bias"])
+        )
+        res_p_ = conv_s2d(r_, pack_pointwise_t(p_ro["kernel"]), bias=p_ro["bias"])
+        mean_p_ = s2d(jnp.mean(x_, axis=-1, keepdims=True))  # f32, flax-order mean
+        return d2s(jax.nn.sigmoid(mean_p_ + res_p_)), upd_
+
+    illu, ie_upd["dec1"] = _dec1_illu(
+        d2, x1p, x, ie["dec1"], ie_s["dec1"], ie["residual_conv"], ie["residual_out"]
     )
-    res_p = conv_s2d(r, pack_pointwise_t(ie["residual_out"]["kernel"]),
-                     bias=ie["residual_out"]["bias"])  # [*, 4]
-    mean_p = s2d(jnp.mean(x, axis=-1, keepdims=True))  # f32, flax-order mean
-    illu = d2s(jax.nn.sigmoid(mean_p + res_p))
     reflectance = x / (illu + model.epsilon)
 
     # Scale towers: scale1/scale2 packed, scale3 (1/16 res, tiny) via Flax.
     h, w = x.shape[1], x.shape[2]
-    f1p = jax.nn.relu(
-        conv_s2d(xp, pack_kernel_s1_t(p["scale1"]["conv"]["kernel"]),
-                 bias=p["scale1"]["conv"]["bias"])
-    )
-    f1p = _fam_train(f1p, p["scale1"]["fam"])
+
+    @ckpt
+    def _scale_tower(inp, p_conv, p_fam):
+        f = jax.nn.relu(
+            conv_s2d(inp, pack_kernel_s1_t(p_conv["kernel"]), bias=p_conv["bias"])
+        )
+        return _fam_train(f, p_fam)
+
+    f1p = _scale_tower(xp, p["scale1"]["conv"], p["scale1"]["fam"])
 
     x2s = resize_scale(x, 0.5)
     x2sp = s2d(x2s.astype(dtype))
     pooled = x2sp.reshape(*x2sp.shape[:3], 4, 3).max(axis=3)  # 2x2/s2 max-pool
-    f2p = jax.nn.relu(
-        conv_s2d(s2d(pooled), pack_kernel_s1_t(p["scale2"]["conv"]["kernel"]),
-                 bias=p["scale2"]["conv"]["bias"])
-    )
-    f2p = _fam_train(f2p, p["scale2"]["fam"])
+    f2p = _scale_tower(s2d(pooled), p["scale2"]["conv"], p["scale2"]["fam"])
 
     x3s = resize_scale(x, 0.25)
     f3 = model.apply({"params": params}, x3s, method=lambda m, a: m.scale3(a))
@@ -262,22 +285,24 @@ def packed_train_apply(model, params, batch_stats, x, dropout_rng):
     # Fusion: upsample scale-2/3 features to full res in packed space. The
     # MXU-matmul phase upsample equals s2d(resize_bilinear(...)) and applies
     # when the shapes refold exactly (always, for /32 letterboxed inputs).
-    f2 = d2s(f2p)
-    if 4 * f2.shape[1] == h and 4 * f2.shape[2] == w:
-        f2ps = s2d_upsample_mxu(f2, 4, mode=1).astype(dtype)
-    else:
-        f2ps = s2d(resize_bilinear(f2, h, w)).astype(dtype)
-    if 16 * f3.shape[1] == h and 16 * f3.shape[2] == w:
-        f3ps = s2d_upsample_mxu(f3, 16, mode=1).astype(dtype)
-    else:
-        f3ps = s2d(resize_bilinear(f3, h, w)).astype(dtype)
-    fused = _interleave_packed([f1p, f2ps, f3ps], 32)
-    fused = conv_s2d(fused, pack_pointwise_t(p["fusion"]["kernel"]),
-                     bias=p["fusion"]["bias"])
-    e_map = d2s(jax.nn.sigmoid(
-        conv_s2d(fused, pack_pointwise_t(p["output_layer"]["kernel"]),
-                 bias=p["output_layer"]["bias"])
-    ))
+    @ckpt
+    def _fusion_head(f1p_, f2p_, f3_, p_fu, p_out):
+        f2_ = d2s(f2p_)
+        if 4 * f2_.shape[1] == h and 4 * f2_.shape[2] == w:
+            f2ps_ = s2d_upsample_mxu(f2_, 4, mode=1).astype(dtype)
+        else:
+            f2ps_ = s2d(resize_bilinear(f2_, h, w)).astype(dtype)
+        if 16 * f3_.shape[1] == h and 16 * f3_.shape[2] == w:
+            f3ps_ = s2d_upsample_mxu(f3_, 16, mode=1).astype(dtype)
+        else:
+            f3ps_ = s2d(resize_bilinear(f3_, h, w)).astype(dtype)
+        fused_ = _interleave_packed([f1p_, f2ps_, f3ps_], 32)
+        fused_ = conv_s2d(fused_, pack_pointwise_t(p_fu["kernel"]), bias=p_fu["bias"])
+        return d2s(jax.nn.sigmoid(
+            conv_s2d(fused_, pack_pointwise_t(p_out["kernel"]), bias=p_out["bias"])
+        ))
+
+    e_map = _fusion_head(f1p, f2p, f3, p["fusion"], p["output_layer"])
 
     enhanced = reflectance * e_map + (1.0 - reflectance) * (e_map**2)
     return (enhanced, reflectance, illu), {"ie_net": ie_upd}

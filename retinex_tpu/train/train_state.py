@@ -97,7 +97,9 @@ def make_train_step(
     stages s2d-packed (models/packed_train.py) — same parameters, same
     batch-stats pytree, same losses up to float reassociation; the narrow
     convs (and their backward convs) run 4x wider on the MXU. Requires
-    H, W divisible by 32 (letterbox guarantees this).
+    H, W divisible by 32 (letterbox guarantees this). A model built with
+    remat=True checkpoints each packed resolution stage (jax.checkpoint),
+    trading recompute for the activation HBM that blocks 640px b16.
     """
 
     def step_fn(state: RetinexTrainState, batch: jnp.ndarray):

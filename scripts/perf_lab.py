@@ -3306,6 +3306,53 @@ def run_r4c():
         set_barriers(True)
 
 
+@exp("r4remat")
+def run_r4remat():
+    """640px packed bf16 train step with rematerialized stages
+    (models/packed_train.py ckpt wrappers): does remat's HBM cut buy a batch
+    size the non-remat step can't reach (b16 OOMs at compile, b12 is a layout
+    cliff — BENCH_NOTES round 4)? Interleaved same-process A/B at b8, plus
+    the b16-remat point that has no non-remat counterpart."""
+    from retinex_tpu.config import Config
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+    from retinex_tpu.train.train_state import create_train_state, make_train_step
+    from retinex_tpu.train.trainer import build_criterion
+
+    size = 640
+    rng = np.random.default_rng(0)
+    cfg = Config(use_preact=True, use_aspp=True, use_amp=True)
+    criterion = build_criterion(cfg)
+
+    def build(batch, remat):
+        model = MultiScaleUPRetinex(
+            use_preact=True, use_aspp=True, dtype=cfg.compute_dtype, remat=remat
+        )
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (batch, size, size, 3), lambda s: 1e-4
+        )
+        step = make_train_step(model, criterion, mesh=None, donate=False, packed=True)
+
+        def f(x, state=state, step=step):
+            new_state, loss_dict = step(state, x)
+            return loss_dict["total"]
+
+        return f
+
+    xs8 = [jnp.asarray(rng.random((8, size, size, 3), dtype=np.float32) * 0.6)
+           for _ in range(4)]
+    fns8 = {"b8 std": build(8, False), "b8 remat": build(8, True)}
+    for rep in range(3):
+        for name, f in fns8.items():
+            measure(f"640px packed bf16 {name} (rep {rep})", f, xs8, k_big=4, batch=8)
+    del fns8, xs8
+
+    xs16 = [jnp.asarray(rng.random((16, size, size, 3), dtype=np.float32) * 0.6)
+            for _ in range(4)]
+    f16 = build(16, True)
+    for rep in range(3):
+        measure(f"640px packed bf16 b16 remat (rep {rep})", f16, xs16, k_big=4, batch=16)
+
+
 def main():
     names = sys.argv[1:] or ["base"]
     if names == ["all"]:

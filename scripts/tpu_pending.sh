@@ -5,14 +5,14 @@
 #
 #   bash scripts/tpu_pending.sh 2>&1 | tee /tmp/tpu_pending.log
 #
-# Round-4 status: EMPTY — every queued measurement ran (see BENCH_NOTES.md
-# "Round 4" sections): r4exact/r4luma/r4tab/r4b/r4c (hist-cells, tables
-# kernel, int8 one-hots, masked-lane decimation, barriers — defaults all
-# flipped per the interleaved medians), labsub revalidation at 3-step cbrt,
-# netroof (whole-graph roofline), the recorded convergence run, two full
-# bench.py sets, and the 640px b12/b16 train batch-scaling probe.
-#
-# Template for queueing new measurements:
+# Round-4 status: one pending — r4remat (640px packed bf16 train with
+# checkpointed stages: does remat unlock b16 past the b8 saturation point?).
+# Everything else ran (see BENCH_NOTES.md "Round 4" sections):
+# r4exact/r4luma/r4tab/r4b/r4c (hist-cells, tables kernel, int8 one-hots,
+# masked-lane decimation, barriers — defaults all flipped per the interleaved
+# medians), labsub revalidation at 3-step cbrt, netroof (whole-graph
+# roofline), the recorded convergence run, two full bench.py sets, and the
+# 640px b12/b16 train batch-scaling probe.
 
 set -u
 cd "$(dirname "$0")/.."
@@ -20,9 +20,9 @@ export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 
 run() {
   echo "=== $* ==="
-  timeout 2400 env "$@"
+  timeout 3600 env "$@"
   echo "=== exit $? ==="
 }
 
-# run python scripts/perf_lab.py <experiment>
+run python scripts/perf_lab.py r4remat
 run python bench.py

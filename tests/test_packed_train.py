@@ -158,3 +158,41 @@ def test_packed_train_step_bf16_runs():
     step = make_train_step(model, criterion, donate=False, packed=True)
     s1, losses = step(state, x)
     assert np.isfinite(float(losses["total"]))
+
+
+def test_packed_remat_gradients_match_packed():
+    """remat=True on the packed path (jax.checkpoint around each resolution
+    stage) must reproduce the non-remat packed gradients: remat changes where
+    activations come from in the backward pass, not the math. Last-ulp
+    differences from refused fusions are the only allowed divergence."""
+    model_std, params, bs, x = _setup(True, True)
+    model_rmt = MultiScaleUPRetinex(
+        use_preact=True, use_aspp=True, dtype=jnp.float32, remat=True
+    )
+    drng = jax.random.PRNGKey(3)
+
+    def loss(m):
+        def fn(p):
+            (enh, refl, illu), _ = packed_train_apply(m, p, bs, x, drng)
+            return jnp.mean(enh**2) + jnp.mean(illu) + 0.1 * jnp.mean(jnp.abs(refl))
+
+        return fn
+
+    g_std = jax.grad(loss(model_std))(params)
+    g_rmt = jax.grad(loss(model_rmt))(params)
+
+    def check(path, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=jtu.keystr(path))
+
+    jtu.tree_map_with_path(check, g_std, g_rmt)
+
+    # Forward outputs and batch-stats updates are also unchanged.
+    out_s, upd_s = packed_train_apply(model_std, params, bs, x, drng)
+    out_r, upd_r = packed_train_apply(model_rmt, params, bs, x, drng)
+    jtu.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+        (out_s, upd_s),
+        (out_r, upd_r),
+    )
