@@ -1,12 +1,21 @@
 #!/usr/bin/env python3
 """Benchmark: every hot path, one JSON line per metric (headline printed last).
 
+Section ORDER is part of the driver contract (VERDICT r4 item 1): the round-4
+driver run timed out inside the train section (9-min cold 640px compiles) and
+the artifact captured no classical metrics at all. Now the cheap/critical
+groups run FIRST — quality parity (CPU subprocess), classical 1080p + 4K
+(the headline + north-star metrics), then net, then train — and the train
+640px cases are skipped with a `# skipped` line when the elapsed-time budget
+(BENCH_BUDGET_S, default 3300 s) cannot cover a cold compile. The classical
+f32 headline is re-emitted as the FINAL JSON line so the driver's
+"parse last line" contract holds on a complete run.
+
 Paths measured (all on the attached chip):
-- train step/s (preact+ASPP model, 7 losses) at 256px b4 and the reference
-  default 640px (reference main.py:48), standard and s2d-packed, f32 + bf16,
-  with a whole-step MFU estimate.
-- net 1080p inference: standard and space-to-depth packed (bf16) throughput
-  at b2/b8/b16, plus single-stream b1 latency.
+- quality parity (CPU, subprocess): PSNR/SSIM of each shipping fast mode
+  (luma s=1/2/4, 1080p and 4K) against the exact-parity Lab output on real
+  photos — the north-star's second row (BASELINE.md "PSNR/SSIM parity";
+  formulas = reference utils/utils.py:186-247 via ops/metrics.py).
 - classical enhance 1080p: uint8 NHWC (production ingest), uint8 planar,
   fast luma-gain mode (s=1/2/4 histogram decimation), and float32 (the
   headline, comparable with BENCH_r01) — the fused RGB->Lab->CLAHE(L)->RGB
@@ -15,6 +24,11 @@ Paths measured (all on the attached chip):
   letterboxed to /32, reference utils/letterbox.py:45).
 - classical enhance 4K (2176x3840, tiles=16): exact-Lab and luma modes —
   guards `_pick_bands` VMEM budgeting against regressions.
+- net 1080p inference: standard and space-to-depth packed (bf16) throughput
+  at b2/b8/b16, plus single-stream b1 latency.
+- train step/s (preact+ASPP model, 7 losses) at 256px b4 and the reference
+  default 640px (reference main.py:48), standard and s2d-packed, f32 + bf16,
+  with a whole-step MFU estimate.
 
 Methodology (this environment): the axon TPU platform's block_until_ready
 returns before execution completes and repeated identical dispatches can be
@@ -48,6 +62,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 BASELINE_FPS = 5000.0
 H, W = 1088, 1920
 H4K, W4K = 2176, 3840
+_T0 = time.monotonic()
+# Total wall budget for the run. The round-4 driver kill arrived with train
+# metrics only in the artifact; 3300 s leaves headroom under a ~1 h driver
+# timeout while still fitting every section on a warm compile cache.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 3300))
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
 
 
 def _timed(fn, inputs, k):
@@ -97,8 +120,8 @@ def measure_group(variants, k_big=9, repeats=5):
     return out
 
 
-def emit(metric, value, unit, vs_baseline=None, spread=None):
-    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+def emit(metric, value, unit, vs_baseline=None, spread=None, digits=2):
+    rec = {"metric": metric, "value": round(value, digits), "unit": unit}
     if vs_baseline is not None:
         rec["vs_baseline"] = round(vs_baseline, 4)
     if spread is not None:
@@ -137,6 +160,18 @@ def bench_train_step(on_tpu: bool):
     peak = {jnp.bfloat16: 197e12, jnp.float32: 98.5e12}
 
     for size, batch in cases:
+        # Budget guard (VERDICT r4 item 1): a cold 640px compile is ~9 min
+        # through the tunnel (CLAUDE.md); don't start a case the remaining
+        # budget can't cover — a timeout mid-train would still truncate the
+        # log tail (the re-emitted headline).
+        need_s = 700 if size >= 640 else 240
+        if on_tpu and _remaining() < need_s:
+            print(
+                f"# skipped train {size}px b{batch}: {_remaining():.0f}s budget "
+                f"left < {need_s}s needed (cold-compile guard)",
+                flush=True,
+            )
+            continue
         batches = [
             jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32))
             for _ in range(3)
@@ -261,6 +296,8 @@ def bench_net(on_tpu: bool):
 
 
 def bench_classical(on_tpu: bool):
+    """Classical pipelines. Returns (batch, median_s, spread) for the f32
+    headline so main() can re-emit it as the final JSON line."""
     from retinex_tpu.ops.clahe import clahe_lab_rgb
 
     batch = 8 if on_tpu else 2
@@ -274,13 +311,7 @@ def bench_classical(on_tpu: bool):
 
     if not on_tpu:
         dt = measure_batch_seconds(fn_f32, inputs_f32, k_big=k_big)
-        emit(
-            "classical_enhance_1080p_fps_per_chip",
-            batch / dt,
-            "frames/sec",
-            (batch / dt) / BASELINE_FPS,
-        )
-        return
+        return batch, dt, None
 
     from retinex_tpu.ops.clahe_gather import (
         clahe_rgb_u8_gather,
@@ -372,6 +403,8 @@ def bench_classical(on_tpu: bool):
         print(f"# 4k bench failed: {type(e).__name__}: {e}", flush=True)
 
     dt, spread = results["f32"]
+    # Emit the headline HERE too (so a later-section timeout still leaves it
+    # in the artifact); main() re-emits it as the final line.
     emit(
         "classical_enhance_1080p_fps_per_chip",
         batch / dt,
@@ -379,6 +412,91 @@ def bench_classical(on_tpu: bool):
         (batch / dt) / BASELINE_FPS,
         spread=spread,
     )
+    return batch, dt, spread
+
+
+def _quality_main():
+    """PSNR/SSIM of each shipping fast mode vs the exact-parity Lab output.
+
+    Runs CPU-only (forced after import, CLAUDE.md) in a subprocess so it
+    never touches the axon tunnel. This is the north-star's SECOND row
+    (BASELINE.md "PSNR/SSIM parity vs reference per-pixel outputs"): the
+    throughput metrics above 5,000 fps come from reduced-parity modes
+    (luma gain, PARITY.md #20; decimated histograms), and these lines pair
+    every fast mode's quality with its speed in the same artifact. Formulas
+    match the reference metric suite (utils/utils.py:186-247) via
+    ops/metrics.py; photos are the committed real-photo derivations
+    (data/convergence, color) plus a reference input when present.
+    """
+    jax.config.update("jax_platforms", "cpu")
+    from retinex_tpu.data.dataset import decode_image
+    from retinex_tpu.ops.clahe import clahe_lab_rgb
+    from retinex_tpu.ops.clahe_luma import clahe_luma_rgb_u8_xla
+    from retinex_tpu.ops.letterbox import letterbox_np, plan_letterbox
+    from retinex_tpu.ops.metrics import psnr, ssim
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    # Two color photos bound the CPU cost (~4 min; the exact-Lab XLA pipeline
+    # compiles dominate). Calibration vs the full 24-photo sweep (run once,
+    # BENCH_NOTES r5): this pair reads ~1.8 dB BELOW the 24-photo mean
+    # (33.98 vs 35.79 dB at s=1) — a conservative sample. The reference's own
+    # inputs are grayscale (CLAUDE.md) — luma==L there, so they'd only
+    # inflate the mean; color photos are the honest case for luma-vs-Lab.
+    photos = [
+        os.path.join(root, "data/convergence", f"lowlight_{i:03d}.png")
+        for i in (0, 8)
+    ]
+    photos = [p for p in photos if os.path.exists(p)]
+
+    exact = jax.jit(clahe_lab_rgb, static_argnames=("use_pallas",))
+    # (resolution tag, target shape, photo count) — one photo at 4K bounds
+    # the CPU cost; relative quality is resolution-stable (BENCH_NOTES 4K:
+    # per-pixel behavior matches 1080p).
+    cases = [("1080p", (H, W), len(photos)), ("4k", (H4K, W4K), 1)]
+    for tag, (th, tw), n in cases:
+        us = {s: [] for s in (1, 2, 4)}
+        for path in photos[:n]:
+            img = decode_image(path)
+            plan = plan_letterbox(img.shape[0], img.shape[1], (th, tw), auto=False)
+            u8 = letterbox_np(img, plan)[None]  # [1, th, tw, 3]
+            x = jnp.asarray(u8, jnp.float32) / 255.0
+            ref_out = exact(x, use_pallas=False)  # exact-parity Lab pipeline
+            for s in (1, 2, 4):
+                fast = (
+                    clahe_luma_rgb_u8_xla(jnp.asarray(u8), hist_subsample=s).astype(
+                        jnp.float32
+                    )
+                    / 255.0
+                )
+                us[s].append(
+                    (float(psnr(fast, ref_out)), float(ssim(fast[0], ref_out[0])))
+                )
+        for s, vals in us.items():
+            emit(f"quality_{tag}_luma_s{s}_psnr_db", float(np.mean([v[0] for v in vals])), "dB")
+            emit(
+                f"quality_{tag}_luma_s{s}_ssim",
+                float(np.mean([v[1] for v in vals])),
+                "ssim",
+                digits=4,
+            )
+
+
+def bench_quality():
+    """Run the CPU quality probe in a subprocess and forward its JSON lines."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--quality"],
+        timeout=min(max(_remaining() - 120, 60), 900),
+        capture_output=True,
+        text=True,
+    )
+    for line in r.stdout.splitlines():
+        if line.strip():
+            print(line, flush=True)
+    if r.returncode != 0:
+        print(f"# quality probe rc={r.returncode}: {r.stderr.strip()[-300:]}", flush=True)
 
 
 def _probe_backend(timeout_s: int = 600) -> bool:
@@ -413,18 +531,43 @@ def _probe_backend(timeout_s: int = 600) -> bool:
 
 
 def main():
+    import sys
+
+    if "--quality" in sys.argv:
+        _quality_main()
+        return
     if not _probe_backend():
         raise SystemExit(1)
     on_tpu = jax.devices()[0].platform != "cpu"
-    for name, fn in (
-        ("train", bench_train_step),
-        ("net", bench_net),
-        ("classical", bench_classical),
-    ):
+    headline = None
+    # Section order = driver-capture priority (module docstring): quality
+    # (cheap, CPU-only), classical (headline + north-star), net, train.
+    if on_tpu or os.environ.get("RETINEX_BENCH_QUALITY"):
         try:
+            bench_quality()
+        except Exception as e:
+            print(f"# bench path 'quality' failed: {type(e).__name__}: {e}", flush=True)
+    try:
+        headline = bench_classical(on_tpu)
+    except Exception as e:
+        print(f"# bench path 'classical' failed: {type(e).__name__}: {e}", flush=True)
+    for name, fn in (("net", bench_net), ("train", bench_train_step)):
+        try:
+            if _remaining() < 120:
+                print(f"# skipped bench path '{name}': budget exhausted", flush=True)
+                continue
             fn(on_tpu)
         except Exception as e:  # keep the headline printable even if one path breaks
             print(f"# bench path '{name}' failed: {type(e).__name__}: {e}", flush=True)
+    if headline is not None:
+        batch, dt, spread = headline
+        emit(
+            "classical_enhance_1080p_fps_per_chip",
+            batch / dt,
+            "frames/sec",
+            (batch / dt) / BASELINE_FPS,
+            spread=spread,
+        )
 
 
 if __name__ == "__main__":

@@ -196,8 +196,9 @@ def packed_train_apply(model, params, batch_stats, x, dropout_rng):
     the fusion head) is wrapped in jax.checkpoint: the backward pass
     recomputes the stage activations instead of storing them, cutting peak
     HBM roughly in half at 640px (the /4-and-below inner body and scale3 run
-    through the Flax modules, which nn.remat already wraps). Gradients are
-    identical to the non-remat packed step (tests/test_packed_train.py).
+    through the Flax modules, which nn.remat already wraps). Gradients match
+    the non-remat packed step to last-ulp/fusion tolerance — 1e-5 relative,
+    the recompute may re-fuse FMAs (tests/test_packed_train.py).
     """
     dtype = model.dtype
     remat = getattr(model, "remat", False)

@@ -36,29 +36,113 @@ from jax import lax
 from retinex_tpu.ops.clahe import HIST_SIZE, _tile_luts, clahe_u8
 
 
-# hist_subsample sampling pattern. True: ROW-ONLY decimation — every
-# (s*s)-th row of each half-tile cell, ALL columns. Same sample budget as
-# the symmetric s x s pattern but the histogram contraction genuinely
-# shrinks by s*s (the symmetric form keeps full lanes and masks 1-1/s of
-# them inside the compare, ops/clahe_gather._hist_dot) and no mask ops run.
-# Quality-equivalent on real images (scripts/probe_rowdecim.py, 13 images,
-# PSNR of the decimated CLAHE output vs the exact-histogram output:
-# s=2 row-only med 55.2 dB vs symmetric 55.9; s=4 med 49.9 vs 49.3, mins
-# within 1 dB). False: the round-3/4 symmetric pattern.
-_ROW_DECIM = False
+# hist_subsample sampling pattern: symmetric s x s within each half-tile
+# cell, shared with the gather/luma paths (clahe_gather.py, clahe_luma.py —
+# their oracles compare bit-for-bit against this routing, so any pattern
+# change must land in all three at once). A ROW-ONLY alternative (every
+# (s*s)-th row, all columns — same sample budget, genuinely shrinks the
+# contraction instead of lane-masking it) measured quality-equivalent in an
+# ad-hoc 13-image PSNR study (row-only s=2 med 55.2 dB vs symmetric 55.9;
+# s=4 49.9 vs 49.3 — the probe script was not kept); it stays unwired
+# because the masked-lane form already removed the gather cost (r4c,
+# BENCH_NOTES) and a pattern flip here alone would silently desynchronize
+# the sibling paths.
 
 
-def _decim_strides(s: int) -> tuple[int, int, int]:
-    """(row_step, col_step, lane_stride) realizing hist_subsample=s under the
-    current `_ROW_DECIM` pattern. Sites that physically slice columns use
-    col_step; sites that keep full lanes pass lane_stride to the histogram
-    contraction's in-compare mask (ops/clahe_gather._hist_dot). Under the
-    row-only pattern both are 1 — the whole decimation is the row slice."""
-    if s <= 1:
-        return 1, 1, 1
-    if _ROW_DECIM:
-        return s * s, 1, 1
-    return s, s, s
+def _hist_from_cells(
+    v5: jnp.ndarray, hist_subsample: int = 1
+) -> tuple[jnp.ndarray, int]:
+    """Per-tile histograms from a half-tile cell view.
+
+    v5: [b, ncy_loc, hh, ncx, hw] int32 — WHOLE tile rows (ncy_loc even).
+    Returns ([b, ncy_loc/2, ncx/2, 256] int32 histograms, sampled tile area).
+    Shared by clahe_u8_fast and the H-sharded path (parallel/spatial.py):
+    tile histograms are H-local, so a shard holding whole tile rows computes
+    its rows' histograms with the exact single-device math — the stage-1
+    nibble einsum sums integers < 2^24 in f32, exact under any partition.
+    """
+    b, ncy_l, _, ncx_l, _ = v5.shape
+    vh = v5[:, :, ::hist_subsample, :, ::hist_subsample]
+    hh2, hw2 = vh.shape[2], vh.shape[4]
+    cells_h = vh.transpose(0, 1, 3, 2, 4).reshape(b, ncy_l, ncx_l, hh2 * hw2)
+    chi, clo = _nibble_onehots(cells_h)  # [b,cy,cx,P,16]
+    cell_hist = jnp.einsum(
+        "bcdpi,bcdpj->bcdij", chi, clo, preferred_element_type=jnp.float32
+    )  # [b,cy,cx,16,16]
+    hist16 = (
+        cell_hist.reshape(b, ncy_l // 2, 2, ncx_l // 2, 2, 16, 16).sum(axis=(2, 4))
+    )
+    hist = hist16.reshape(b, ncy_l // 2, ncx_l // 2, HIST_SIZE).astype(jnp.int32)
+    return hist, 4 * hh2 * hw2
+
+
+def _apply_from_cells(
+    v5: jnp.ndarray,
+    luts: jnp.ndarray,
+    tiles_y: int,
+    tiles_x: int,
+    row0=0,
+) -> jnp.ndarray:
+    """Stage 3: per-cell LUT evaluation + separable bilinear blend.
+
+    v5:   [b, ncy_loc, hh, ncx, hw] int32 cell view (a slab of whole cell rows).
+    luts: [b, tiles_y, tiles_x, 256] int32 — the FULL (global) tile tables.
+    row0: global index of v5's first cell row — 0 for the single-device path
+    (static: every slice below folds away), `axis_index * ncy_loc` under the
+    H-sharded path (parallel/spatial.py), where it selects this shard's
+    neighbour-LUT rows and blend-weight parities out of the global tables.
+    Returns [b, h_loc, w] int32.
+    """
+    b, ncy_l, hh, ncx, hw = v5.shape
+    cells = v5.transpose(0, 1, 3, 2, 4).reshape(b, ncy_l, ncx, hh * hw)
+    # Barrier: regenerate the one-hots from a distinct value so the stage-1
+    # one-hots are never materialized for reuse (see clahe_u8_fast docnote).
+    cells2 = jax.lax.optimization_barrier(cells)
+    chi, clo = _nibble_onehots(cells2)
+
+    luts16 = luts.reshape(b, tiles_y, tiles_x, 16, 16).astype(jnp.bfloat16)
+    t0y, t1y = _neighbor_index_tables(tiles_y)
+    t0x, t1x = _neighbor_index_tables(tiles_x)
+    # Static tile->cell LUT gathers (tiny: [b, ncy, ncx, 16, 16] each).
+    lut00 = luts16[:, t0y][:, :, t0x]
+    lut01 = luts16[:, t0y][:, :, t1x]
+    lut10 = luts16[:, t1y][:, :, t0x]
+    lut11 = luts16[:, t1y][:, :, t1x]
+    if not (isinstance(row0, int) and row0 == 0 and ncy_l == 2 * tiles_y):
+        lut00 = lax.dynamic_slice_in_dim(lut00, row0, ncy_l, axis=1)
+        lut01 = lax.dynamic_slice_in_dim(lut01, row0, ncy_l, axis=1)
+        lut10 = lax.dynamic_slice_in_dim(lut10, row0, ncy_l, axis=1)
+        lut11 = lax.dynamic_slice_in_dim(lut11, row0, ncy_l, axis=1)
+
+    def eval_lut(lut):
+        # [P,16]x[16,16] "matmul" + row-dot; XLA fuses both contractions into
+        # one elementwise-reduce kernel (measured faster than a real MXU dot
+        # at N=16 — no [P,16] intermediate ever hits HBM).
+        t = jnp.einsum("bcdpi,bcdij->bcdpj", chi, lut, preferred_element_type=jnp.bfloat16)
+        return jnp.einsum("bcdpj,bcdpj->bcdp", t, clo, preferred_element_type=jnp.float32)
+
+    l00 = eval_lut(lut00)
+    l01 = eval_lut(lut01)
+    l10 = eval_lut(lut10)
+    l11 = eval_lut(lut11)
+
+    wx_tab = jnp.asarray(_blend_weights(hw))  # [2, hw]
+    wy_tab = jnp.asarray(_blend_weights(hh))  # [2, hh]
+    xa = wx_tab[jnp.arange(ncx) % 2]  # [ncx, hw]
+    ya = wy_tab[(row0 + jnp.arange(ncy_l)) % 2]  # [ncy_loc, hh]
+    xa_full = jnp.broadcast_to(xa[None, None, :, None, :], (b, ncy_l, ncx, hh, hw))
+    ya_full = jnp.broadcast_to(ya[None, :, None, :, None], (b, ncy_l, ncx, hh, hw))
+    xa_full = xa_full.reshape(b, ncy_l, ncx, hh * hw)
+    ya_full = ya_full.reshape(b, ncy_l, ncx, hh * hw)
+
+    # Same multiply arrangement as the gather-based reference so float rounding
+    # at .5 ties matches it bit-for-bit.
+    top = l00 * (1.0 - xa_full) + l01 * xa_full
+    bot = l10 * (1.0 - xa_full) + l11 * xa_full
+    out = jnp.clip(jnp.round(top * (1.0 - ya_full) + bot * ya_full), 0, 255).astype(jnp.int32)
+
+    out = out.reshape(b, ncy_l, ncx, hh, hw).transpose(0, 1, 3, 2, 4)
+    return out.reshape(b, ncy_l * hh, ncx * hw)
 
 
 def _nibble_onehots(v: jnp.ndarray):
@@ -123,83 +207,26 @@ def clahe_u8_fast(
 
     # int32 through the cell transposes: fewer bytes (u8) measures *slower*
     # on this TPU generation (sublane-packed int8 relayouts), so stay wide.
-    v = img_u8.astype(jnp.int32)
-    th, tw = h // tiles_y, w // tiles_x
-    hh, hw = th // 2, tw // 2
-    ncy, ncx = 2 * tiles_y, 2 * tiles_x
-
     # One-hot nibbles are cheap to compute (32 compares/pixel) but HUGE to
     # store ([B,cells,P,16] bf16 ~ 0.5GB at 8x1080p). If the same one-hot
     # tensors fed both the histogram and the LUT-evaluation stages, XLA would
-    # materialize them to HBM for the second consumer; an optimization barrier
-    # between the stages makes each stage regenerate its one-hots from the tiny
-    # cell tensor, so both stages fuse the compares into their contractions and
-    # nothing one-hot-sized ever leaves VMEM (measured ~2x end to end).
-    v5 = v.reshape(b, ncy, hh, ncx, hw)
-    cells = v5.transpose(0, 1, 3, 2, 4).reshape(b, ncy, ncx, hh * hw)
-    row_step, col_step, _ = _decim_strides(hist_subsample)
-    vh = v5[:, :, ::row_step, :, ::col_step]
-    hh2, hw2 = vh.shape[2], vh.shape[4]
-    tile_area = 4 * hh2 * hw2  # == th * tw when hist_subsample == 1
-    cells_h = vh.transpose(0, 1, 3, 2, 4).reshape(b, ncy, ncx, hh2 * hw2)
-    chi, clo = _nibble_onehots(cells_h)  # [b,cy,cx,P,16]
+    # materialize them to HBM for the second consumer; the optimization
+    # barrier inside _apply_from_cells makes each stage regenerate its
+    # one-hots from the tiny cell tensor, so both stages fuse the compares
+    # into their contractions and nothing one-hot-sized ever leaves VMEM
+    # (measured ~2x end to end).
+    ncy, ncx = 2 * tiles_y, 2 * tiles_x
+    hh, hw = h // ncy, w // ncx
+    v5 = img_u8.astype(jnp.int32).reshape(b, ncy, hh, ncx, hw)
 
     # ---- Stage 1: per-cell nibble outer products on the MXU -> tile hists ----
-    cell_hist = jnp.einsum(
-        "bcdpi,bcdpj->bcdij", chi, clo, preferred_element_type=jnp.float32
-    )  # [b,cy,cx,16,16]
-    hist16 = (
-        cell_hist.reshape(b, tiles_y, 2, tiles_x, 2, 16, 16).sum(axis=(2, 4))
-    )
-    hist = hist16.reshape(b, tiles_y, tiles_x, HIST_SIZE).astype(jnp.int32)
-
-    # Barrier: stage 3 regenerates its one-hots from `cells2` (a distinct
-    # value), so the stage-1 one-hots are never stored for reuse.
-    cells2 = jax.lax.optimization_barrier(cells)
-    chi, clo = _nibble_onehots(cells2)
+    hist, tile_area = _hist_from_cells(v5, hist_subsample)
 
     # ---- Stage 2: OpenCV clip/redistribute + CDF LUTs (tiny, exact) ----
     luts = _luts_from_hist(hist, clip_limit, tile_area)  # [b,ty,tx,256] int32
-    luts16 = luts.reshape(b, tiles_y, tiles_x, 16, 16).astype(jnp.bfloat16)
 
     # ---- Stage 3: per-cell LUT evaluation + separable bilinear blend ----
-    t0y, t1y = _neighbor_index_tables(tiles_y)
-    t0x, t1x = _neighbor_index_tables(tiles_x)
-    # Static tile->cell LUT gathers (tiny: [b, ncy, ncx, 16, 16] each).
-    lut00 = luts16[:, t0y][:, :, t0x]
-    lut01 = luts16[:, t0y][:, :, t1x]
-    lut10 = luts16[:, t1y][:, :, t0x]
-    lut11 = luts16[:, t1y][:, :, t1x]
-
-    def eval_lut(lut):
-        # [P,16]x[16,16] "matmul" + row-dot; XLA fuses both contractions into
-        # one elementwise-reduce kernel (measured faster than a real MXU dot
-        # at N=16 — no [P,16] intermediate ever hits HBM).
-        t = jnp.einsum("bcdpi,bcdij->bcdpj", chi, lut, preferred_element_type=jnp.bfloat16)
-        return jnp.einsum("bcdpj,bcdpj->bcdp", t, clo, preferred_element_type=jnp.float32)
-
-    l00 = eval_lut(lut00)
-    l01 = eval_lut(lut01)
-    l10 = eval_lut(lut10)
-    l11 = eval_lut(lut11)
-
-    wx_tab = jnp.asarray(_blend_weights(hw))  # [2, hw]
-    wy_tab = jnp.asarray(_blend_weights(hh))  # [2, hh]
-    xa = wx_tab[jnp.arange(ncx) % 2]  # [ncx, hw]
-    ya = wy_tab[jnp.arange(ncy) % 2]  # [ncy, hh]
-    xa_full = jnp.broadcast_to(xa[None, None, :, None, :], (b, ncy, ncx, hh, hw))
-    ya_full = jnp.broadcast_to(ya[None, :, None, :, None], (b, ncy, ncx, hh, hw))
-    xa_full = xa_full.reshape(b, ncy, ncx, hh * hw)
-    ya_full = ya_full.reshape(b, ncy, ncx, hh * hw)
-
-    # Same multiply arrangement as the gather-based reference so float rounding
-    # at .5 ties matches it bit-for-bit.
-    top = l00 * (1.0 - xa_full) + l01 * xa_full
-    bot = l10 * (1.0 - xa_full) + l11 * xa_full
-    out = jnp.clip(jnp.round(top * (1.0 - ya_full) + bot * ya_full), 0, 255).astype(jnp.int32)
-
-    out = out.reshape(b, ncy, ncx, hh, hw).transpose(0, 1, 3, 2, 4)
-    out = out.reshape(b, h, w)
+    out = _apply_from_cells(v5, luts, tiles_y, tiles_x)
     return out[0] if squeeze else out
 
 
