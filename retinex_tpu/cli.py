@@ -159,6 +159,17 @@ def run(config: Config):
         os.makedirs(config.output_dir, exist_ok=True)
         input_path = Path(config.input_path)
         if input_path.is_file():
+            # --spatial_shard + a classical clahe mode: split the single
+            # frame's height over the mesh (parallel/spatial.make_spatial_clahe)
+            # — the classical counterpart of the net's spatial forward.
+            from retinex_tpu.infer.batch_driver import maybe_mesh
+
+            sp_mesh = (
+                maybe_mesh(config.n_devices)
+                if config.spatial_shard
+                and config.classical_mode in ("clahe", "clahe_luma")
+                else None
+            )
             return enhance_single_image(
                 apply_fn,
                 str(input_path),
@@ -171,6 +182,7 @@ def run(config: Config):
                 clip_limit=config.clahe_clip_limit,
                 tiles=config.clahe_tiles,
                 hist_subsample=config.clahe_hist_subsample,
+                mesh=sp_mesh,
             )
         if input_path.is_dir():
             from retinex_tpu.infer.batch_driver import maybe_mesh

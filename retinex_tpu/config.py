@@ -133,11 +133,14 @@ class Config:
     # BN stats match the standard step to float-reassociation precision
     # (tests/test_remat.py, tests/test_packed_train.py).
     remat: bool = False
-    # Spatial (H-axis) sharding for net predict (parallel/spatial.py): split a
-    # single huge frame across all mesh devices; GSPMD inserts the conv halo
-    # exchanges. Useful at batch 1 where data parallelism idles N-1 chips.
-    # Requires H divisible by 8*mesh (falls back to single-device otherwise)
-    # and disables packed_inference for the run.
+    # Spatial (H-axis) sharding (parallel/spatial.py): split a single huge
+    # frame across all mesh devices. Net predict: GSPMD inserts the conv halo
+    # exchanges; requires H divisible by 8*mesh (falls back to single-device
+    # otherwise) and disables packed_inference for the run. Classical
+    # enhance (clahe/clahe_luma single-file): make_spatial_clahe all_gathers
+    # the per-tile histograms over ICI; requires H,W divisible by 2*tiles
+    # and mesh | tiles. Useful at batch 1 where data parallelism idles N-1
+    # chips.
     spatial_shard: bool = False
     log_every: int = 100  # batches between TB scalar writes (reference: 100)
     progress_bar: bool = True  # tqdm batch bar (reference: trainers/train.py:61)

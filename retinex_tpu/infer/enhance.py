@@ -144,6 +144,7 @@ def enhance_single_image(
     clip_limit: float = 2.0,
     tiles: int = 8,
     hist_subsample: int = 1,
+    mesh=None,
 ):
     """Route one image through exactly one pipeline and save
     enhanced/illumination/comparison PNGs
@@ -159,7 +160,8 @@ def enhance_single_image(
     start = time.time()
     if classical_mode in CLASSICAL_MODES:
         enhanced = _classical_enhance(
-            x, classical_mode, use_pallas, clip_limit, tiles, hist_subsample
+            x, classical_mode, use_pallas, clip_limit, tiles, hist_subsample,
+            mesh=mesh,
         )
         illu = rgb_to_luma(jnp.asarray(img))  # luminance stands in for the net's illu map
     elif enable_content_aware:
@@ -188,8 +190,36 @@ def _classical_enhance(
     clip_limit: float = 2.0,
     tiles: int = 8,
     hist_subsample: int = 1,
+    mesh=None,
 ):
-    """Route the no-net classical pipelines (batched NHWC or single HWC)."""
+    """Route the no-net classical pipelines (batched NHWC or single HWC).
+
+    mesh: when given (CLI --spatial_shard with a clahe mode), split each
+    frame's HEIGHT across the mesh (parallel/spatial.make_spatial_clahe —
+    tile histograms all_gathered over ICI, everything else shard-local) on
+    cell-divisible shapes; other shapes fall back to single-device routing.
+    """
+    if mesh is not None and classical_mode in ("clahe", "clahe_luma"):
+        from retinex_tpu.parallel.spatial import make_spatial_clahe, spatial_sharding
+
+        squeeze = x.ndim == 3
+        xb = x[None] if squeeze else x
+        h, w = xb.shape[1], xb.shape[2]
+        n = int(mesh.devices.size)
+        if tiles % n == 0 and h % (2 * tiles) == 0 and w % (2 * tiles) == 0:
+            fn = make_spatial_clahe(
+                mesh,
+                mode=classical_mode,
+                clip_limit=clip_limit,
+                tiles=tiles,
+                hist_subsample=hist_subsample,
+            )
+            out = fn(jax.device_put(xb, spatial_sharding(mesh)))
+            return out[0] if squeeze else out
+        print(
+            f"spatial CLAHE needs H,W % {2 * tiles} == 0 and mesh | tiles; "
+            f"got {(h, w)} on {n} devices — falling back to single-device"
+        )
     if classical_mode == "ssr":
         return ssr_enhance(x)
     if classical_mode == "clahe":
