@@ -605,6 +605,14 @@ def _pick_bands(ncy: int, band_elems: int | None = None) -> int:
     )
 
 
+# Per-kernel band-count overrides (None = _pick_bands default). Tuning knobs
+# for the round-5 apply/fwd band re-sweep at the _TABLES_KERNEL defaults
+# (perf_lab r5exact); every band count is bit-identical by construction (the
+# banding only re-partitions the grid; the ya parity path is static at even
+# nb, dynamic at odd — same values either way).
+_FWD_NB: int | None = None
+_APPLY_NB: int | None = None
+
 # Histogram formulation switch (A/B'd on-chip, perf_lab r4exact): False =
 # tile-transpose + merged-axis einsum (_hist_planar), True = direct cell-view
 # einsum (_hist_cells, no transpose). Both are bit-identical in output.
@@ -1003,7 +1011,7 @@ def _fwd_stage5(rgb5: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     dg_vals = srgb_to_linear(jnp.arange(HIST_SIZE, dtype=jnp.float32) / 255.0)
     dg_tab = dg_vals.reshape(2, 128)
     fastmath = not interpret
-    nb = _pick_bands(ncy, rows * hw)
+    nb = _FWD_NB if _FWD_NB and ncy % _FWD_NB == 0 else _pick_bands(ncy, rows * hw)
     return pl.pallas_call(
         functools.partial(_fwd_kernel5, nb, fastmath),
         grid=(b, ncy // nb),
@@ -1032,7 +1040,11 @@ def _apply_stage5(
     _, b, ncy, rows, hw = lab5.shape
     hh = rows // ncx
     fastmath = not interpret
-    nb = _pick_bands(ncy, rows * hw)
+    nb = (
+        _APPLY_NB
+        if _APPLY_NB and ncy % _APPLY_NB == 0
+        else _pick_bands(ncy, rows * hw)
+    )
     wx = _blend_weights(hw)  # [2, hw]
     wy = _blend_weights(hh)  # [2, hh]
     # Pre-expanded blend weights: [rows, hw] and [rows, 2] (one 0.5 MB

@@ -3353,6 +3353,329 @@ def run_r4remat():
         measure(f"640px packed bf16 b16 remat (rep {rep})", f16, xs16, k_big=4, batch=16)
 
 
+@exp("trainroof")
+def run_trainroof():
+    """Backward-pass roofline for the 640px b8 packed bf16 train step
+    (VERDICT r4 item 5): per-stage forward and forward+vjp wall times
+    on-chip plus CPU-backend XLA cost analysis of the SAME jitted fns ->
+    backward-only ms / GFLOP / TF/s per stage, attributing the
+    18.9%-MFU-vs-39.7%-inference-ceiling gap stage by stage (the netroof
+    methodology extended to grads). Stages mirror
+    models/packed_train.packed_train_apply's decomposition; stage returns
+    DROP the BN-stat updates (they receive no cotangent in the real step)
+    and running stats are closed over (not differentiated), so each vjp
+    computes exactly the real step's backward work for that stage: input
+    grads AND weight grads. RETINEX_PERF_BATCH overrides the batch.
+    """
+    from retinex_tpu.config import Config
+    from retinex_tpu.models import packed_train as pt
+    from retinex_tpu.models.packed_inference import _interleave_packed
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+    from retinex_tpu.ops.s2d import (
+        conv_s2d,
+        d2s,
+        pack_kernel_s1_t,
+        pack_pointwise_t,
+        s2d,
+        s2d_upsample_mxu,
+    )
+    from retinex_tpu.train.train_state import create_train_state, make_train_step
+    from retinex_tpu.train.trainer import build_criterion
+
+    size = int(os.environ.get("RETINEX_PERF_SIZE", "640"))  # /32-divisible
+    batch = int(os.environ.get("RETINEX_PERF_BATCH", "8"))
+    dtype = jnp.bfloat16
+    cfg = Config(use_preact=True, use_aspp=True, use_amp=True)
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (2, 64, 64, 3), lambda s: 1e-4
+    )
+    params, stats = state.params, state.batch_stats
+    criterion = build_criterion(cfg)
+    loss_state = state.loss_state
+    ie, ie_s = params["ie_net"], stats["ie_net"]
+    key = jax.random.PRNGKey(7)
+    rng_np = np.random.default_rng(0)
+
+    hp = size // 2  # packed (s2d) resolution
+
+    def rnd(shape, d=dtype, scale=1.0, n=3):
+        return [
+            jnp.asarray(rng_np.random(shape, dtype=np.float32) * scale, dtype=d)
+            for _ in range(n)
+        ]
+
+    def zipped(*lists):
+        return [tuple(t) for t in zip(*lists)]
+
+    # ---- stage fns: fwd_fn(data_tuple, diff_params) -> diff outputs ----
+    def st_fullres(data, p):
+        (xp_,) = data
+        x1p_ = jax.nn.relu(
+            conv_s2d(xp_, pack_kernel_s1_t(p["input_layer"]["kernel"]),
+                     bias=p["input_layer"]["bias"])
+        )
+        x2_, _ = pt._enc_block_train(x1p_, p["enc1"], ie_s["enc1"], model.use_preact)
+        return x1p_, x2_
+
+    def st_enc2(data, p):
+        (x2p_,) = data
+        x3_, _ = pt._enc_block_train(x2p_, p, ie_s["enc2"], model.use_preact)
+        return x3_
+
+    def st_inner(data, p):
+        (x3_,) = data
+        d3_, _ = model.apply(
+            {"params": p, "batch_stats": stats},
+            x3_,
+            True,
+            method=lambda m, a, t: m.ie_net.inner(a, t),
+            mutable=["batch_stats"],
+            rngs={"dropout": key},
+        )
+        return d3_
+
+    def st_dec2(data, p):
+        d3_, x2p_ = data
+        dec2_out_, _ = pt._up_block_train(d3_, p, ie_s["dec2"])
+        return d2s(dec2_out_ + x2p_)
+
+    def st_dec1(data, p):
+        d2_, x1p_, x_ = data
+        dec1_out_, _ = pt._up_block_train(d2_, p["dec1"], ie_s["dec1"])
+        d1p_ = dec1_out_ + x1p_
+        r_ = jax.nn.relu(
+            conv_s2d(d1p_, pack_kernel_s1_t(p["residual_conv"]["kernel"]),
+                     bias=p["residual_conv"]["bias"])
+        )
+        res_p_ = conv_s2d(r_, pack_pointwise_t(p["residual_out"]["kernel"]),
+                          bias=p["residual_out"]["bias"])
+        mean_p_ = s2d(jnp.mean(x_, axis=-1, keepdims=True))
+        return d2s(jax.nn.sigmoid(mean_p_ + res_p_))
+
+    def st_tower(data, p):
+        (inp,) = data
+        f = jax.nn.relu(
+            conv_s2d(inp, pack_kernel_s1_t(p["conv"]["kernel"]), bias=p["conv"]["bias"])
+        )
+        return pt._fam_train(f, p["fam"])
+
+    def st_fusion(data, p):
+        f1p_, f2p_, f3_ = data
+        f2_ = d2s(f2p_)
+        f2ps_ = s2d_upsample_mxu(f2_, 4, mode=1).astype(dtype)
+        f3ps_ = s2d_upsample_mxu(f3_, 16, mode=1).astype(dtype)
+        fused_ = _interleave_packed([f1p_, f2ps_, f3ps_], 32)
+        fused_ = conv_s2d(fused_, pack_pointwise_t(p["fusion"]["kernel"]),
+                          bias=p["fusion"]["bias"])
+        return d2s(jax.nn.sigmoid(
+            conv_s2d(fused_, pack_pointwise_t(p["output_layer"]["kernel"]),
+                     bias=p["output_layer"]["bias"])
+        ))
+
+    def st_loss(data, p):
+        x_, enhanced_, refl_, illu_ = data
+        del p
+        total, _, _ = criterion(x_, enhanced_, illu_, refl_, loss_state)
+        return total
+
+    xs = rnd((batch, size, size, 3), jnp.float32, 0.6)
+    xps = [s2d(x).astype(dtype) for x in xs]
+    stages = [
+        ("full-res encode (in+enc1)", st_fullres, zipped(xps), ie),
+        ("enc2", st_enc2, zipped(rnd((batch, hp // 2, hp // 2, 256))), ie["enc2"]),
+        ("inner (enc3..dec3+ASPP, flax)", st_inner,
+         zipped(rnd((batch, hp // 2, hp // 2, 128))), params),
+        ("dec2 + skip", st_dec2,
+         zipped(rnd((batch, hp // 2, hp // 2, 128)),
+                rnd((batch, hp // 2, hp // 2, 256))), ie["dec2"]),
+        ("dec1 + illumination head", st_dec1,
+         zipped(rnd((batch, hp, hp, 64)), rnd((batch, hp, hp, 128)), xs), ie),
+        ("scale1 conv+FAM", st_tower, zipped(xps), params["scale1"]),
+        ("scale2 conv+FAM", st_tower,
+         zipped(rnd((batch, hp // 4, hp // 4, 12))), params["scale2"]),
+        ("fusion head", st_fusion,
+         zipped(rnd((batch, hp, hp, 128)),
+                rnd((batch, hp // 4, hp // 4, 128)),
+                rnd((batch, hp // 8, hp // 8, 32))), params),
+        ("7-loss criterion", st_loss,
+         zipped(xs, rnd((batch, size, size, 3), jnp.float32, 1.0),
+                rnd((batch, size, size, 3), jnp.float32, 1.0),
+                rnd((batch, size, size, 1), jnp.float32, 1.0)), None),
+    ]
+
+    built = []
+    for name, fn, datas, pa in stages:
+        fwd = jax.jit(lambda data, fn=fn, pa=pa: fn(data, pa))
+
+        def fb_(data, fn=fn, pa=pa):
+            out, pull = jax.vjp(fn, data, pa)
+            cts = jax.tree.map(jnp.ones_like, out)
+            g = pull(cts)
+            return sum(
+                jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(g)
+            )
+
+        built.append((name, fwd, jax.jit(fb_), datas))
+
+    # Context rows: the full packed train-mode forward and the full step.
+    @jax.jit
+    def full_fwd(x):
+        (enh, _, _), _ = pt.packed_train_apply(model, params, stats, x, key)
+        return enh
+
+    step = make_train_step(model, criterion, mesh=None, donate=False, packed=True)
+
+    def full_step(x):
+        _, loss_dict = step(state, x)
+        return loss_dict["total"]
+
+    results = {}
+    for rep in range(3):
+        for name, fwd, fb, datas in built:
+            results.setdefault(name + " [fwd]", []).append(
+                measure(f"[{rep}] {name} fwd", fwd, datas, k_big=4, batch=batch)
+            )
+            results.setdefault(name + " [f+b]", []).append(
+                measure(f"[{rep}] {name} f+b", fb, datas, k_big=4, batch=batch)
+            )
+        results.setdefault("full packed fwd", []).append(
+            measure(f"[{rep}] full packed fwd", full_fwd, xs, k_big=4, batch=batch)
+        )
+        results.setdefault("full train step", []).append(
+            measure(f"[{rep}] full train step", full_step, xs, k_big=4, batch=batch)
+        )
+
+    def flops_of(fn, sample):
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                return float(
+                    fn.lower(jax.device_put(sample, cpu)).compile().cost_analysis()[
+                        "flops"
+                    ]
+                )
+        except Exception as e:
+            print(f"  (cost analysis failed: {type(e).__name__}: {e})", flush=True)
+            return None
+
+    print("\n--- backward roofline (median ms; FLOPs from CPU cost analysis; "
+          "bwd = [f+b] - [fwd]) ---", flush=True)
+
+    def med(key_):
+        ts = sorted(results[key_])
+        return ts[len(ts) // 2]
+
+    for name, fwd, fb, datas in built:
+        mf, mb = med(name + " [fwd]"), med(name + " [f+b]")
+        bwd_ms = max(mb - mf, 1e-9)
+        ff, fbf = flops_of(fwd, datas[0]), flops_of(fb, datas[0])
+        if ff is not None and fbf is not None:
+            bflop = max(fbf - ff, 0.0)
+            tfs = bflop / bwd_ms / 1e12
+            print(
+                f"{name:32s} fwd {mf * 1e3:7.2f}  f+b {mb * 1e3:7.2f}  "
+                f"bwd {bwd_ms * 1e3:7.2f} ms  {bflop / 1e9:8.1f} GFLOP  "
+                f"{tfs:6.1f} TF/s  {tfs / 197 * 100:5.1f}% MXU",
+                flush=True,
+            )
+        else:
+            print(
+                f"{name:32s} fwd {mf * 1e3:7.2f}  f+b {mb * 1e3:7.2f}  "
+                f"bwd {bwd_ms * 1e3:7.2f} ms  (no cost analysis)",
+                flush=True,
+            )
+    print(
+        f"{'full packed fwd':32s} {med('full packed fwd') * 1e3:7.2f} ms; "
+        f"{'full train step':20s} {med('full train step') * 1e3:7.2f} ms",
+        flush=True,
+    )
+
+
+@exp("r5exact")
+def run_r5exact():
+    """Exact-parity u8 pipeline: fwd/apply band-count re-sweep at the round-4
+    defaults (_HIST_CELLS/_TABLES_KERNEL/_HIST_I8 all on) plus a barrier
+    re-check — VERDICT r4 item 3's named candidates for the remaining
+    apply-stage headroom (~0.9-1.2 ms by the r4 envelope). Every variant is
+    bit-identity-asserted on-chip before timing; all variants interleave in
+    ONE process (the only trustworthy A/B on axon). Each variant's jit is
+    traced eagerly while its flags are set, so flag flips don't invalidate
+    already-built variants.
+
+    Phase 2 calibrates the slope window: the exact pipelines ride a +-15%
+    between-process band while luma modes tightened to single digits
+    (BENCH_NOTES r4); if a longer k_big window (17 vs 9) shrinks the
+    within-process rep spread, bench.py should adopt it.
+    """
+    import retinex_tpu.ops.clahe_gather as cg
+
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.integers(0, 256, (8, 3, H, W), dtype=np.uint8))
+        for _ in range(6)
+    ]
+    xs_nhwc = [jnp.transpose(x, (0, 2, 3, 1)) for x in xs]
+
+    def set_nb(fwd=None, ap=None, barriers=True):
+        cg._FWD_NB, cg._APPLY_NB, cg._BARRIERS = fwd, ap, barriers
+
+    variants = [
+        ("default (fwd4, apply4)", None, None, True),
+        ("apply nb2", None, 2, True),
+        ("apply nb8", None, 8, True),
+        ("fwd nb2", 2, None, True),
+        ("fwd2 + apply2", 2, 2, True),
+        ("fwd8 + apply8", 8, 8, True),
+        ("no barriers", None, None, False),
+    ]
+    raw5 = cg.clahe_rgb_u8_planar_gather5.__wrapped__
+    raw_nhwc = cg.clahe_rgb_u8_gather.__wrapped__
+
+    ref = None
+    fns = []
+    try:
+        for name, f_, a_, bar in variants:
+            set_nb(f_, a_, bar)
+            fn = jax.jit(lambda xp, raw5=raw5: raw5(xp))
+            out = np.asarray(fn(xs[0]))  # traces under this variant's flags
+            if ref is None:
+                ref = out
+            else:
+                maxd = np.abs(out.astype(np.int32) - ref.astype(np.int32)).max()
+                print(f"{name}: parity maxd {maxd}", flush=True)
+                assert maxd == 0, f"{name} not bit-identical: maxd {maxd}"
+            fns.append((name, fn, xs))
+        set_nb()
+        fn_nhwc = jax.jit(lambda x, raw=raw_nhwc: raw(x))
+        fn_nhwc(xs_nhwc[0])
+        fns.append(("NHWC ingest (default)", fn_nhwc, xs_nhwc))
+
+        for rep in range(3):
+            for name, fn, ins in fns:
+                measure(f"[{rep}] {name}", fn, ins)
+
+        # Phase 2: slope-window calibration on the default pipeline.
+        print("--- k_big calibration (per-rep ms, default exact planar) ---",
+              flush=True)
+        fn0 = fns[0][1]
+        for k_big in (9, 17):
+            ts = []
+            for _ in range(5):
+                t1 = _timed(fn0, xs, 1)
+                t2 = _timed(fn0, xs, k_big)
+                ts.append((t2 - t1) / (k_big - 1) * 1e3)
+            med = sorted(ts)[2]
+            spread = (max(ts) - min(ts)) / med
+            print(
+                f"k_big={k_big:2d}: reps {' '.join(f'{t:.2f}' for t in ts)} ms  "
+                f"median {med:.2f}  spread {spread:.2f}",
+                flush=True,
+            )
+    finally:
+        set_nb()
+
+
 def main():
     names = sys.argv[1:] or ["base"]
     if names == ["all"]:
