@@ -6,6 +6,7 @@ the two paths may differ by +-1/255 on a ~1e-5 pixel fraction (FMA formation
 at exact .5 blend ties; Mosaic pow(1/3) vs XLA cbrt) — see PARITY.md.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -333,3 +334,22 @@ def test_tables_kernel_tiles16(monkeypatch):
         )
 
     np.testing.assert_array_equal(run(False), run(True))
+
+
+def test_band_override_bit_identity(img):
+    """_FWD_NB/_APPLY_NB band overrides (perf_lab r5exact knobs) only
+    re-partition the kernel grid: outputs must be bit-identical to the
+    default banding, including an ODD band count (dynamic ya parity path)."""
+    import retinex_tpu.ops.clahe_gather as cg
+
+    u8 = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8)
+    xp = jnp.transpose(u8, (0, 3, 1, 2))
+    raw = cg.clahe_rgb_u8_planar_gather5.__wrapped__
+    ref = np.asarray(jax.jit(lambda v: raw(v, interpret=True))(xp))
+    try:
+        for fwd_nb, apply_nb in ((2, 2), (8, 8), (1, 1), (None, 2)):
+            cg._FWD_NB, cg._APPLY_NB = fwd_nb, apply_nb
+            got = np.asarray(jax.jit(lambda v: raw(v, interpret=True))(xp))
+            assert (got == ref).all(), (fwd_nb, apply_nb)
+    finally:
+        cg._FWD_NB = cg._APPLY_NB = None
