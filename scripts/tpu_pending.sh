@@ -5,16 +5,11 @@
 #
 #   bash scripts/tpu_pending.sh 2>&1 | tee /tmp/tpu_pending.log
 #
-# Round-4 status: EMPTY — every queued measurement ran (see BENCH_NOTES.md
-# "Round 4" sections): r4exact/r4luma/r4tab/r4b/r4c (hist-cells, tables
-# kernel, int8 one-hots, masked-lane decimation, barriers — defaults all
-# flipped per the interleaved medians), r4remat (b16 fits with remat but
-# loses to b8 std — remat stays a memory lever), labsub revalidation at
-# 3-step cbrt, netroof (whole-graph roofline), the recorded convergence run,
-# three full bench.py sets, and the 640px b12/b16 train batch-scaling probe.
-#
-# Template for queueing new measurements:
-#   run python scripts/perf_lab.py <experiment>
+# Round-5 queue (in priority order; delete lines as they complete):
+#   1. perf_lab trainroof  — backward-pass roofline, 640px b8 packed bf16
+#   2. perf_lab r5exact    — exact-u8 band sweep + k_big calibration
+#   3. bench.py x3 with logs -> artifacts/bench_r05/run{1,2,3}.log
+#      (VERDICT r4 item 2: the three-run record must be committed logs)
 
 set -u
 cd "$(dirname "$0")/.."
@@ -26,4 +21,11 @@ run() {
   echo "=== exit $? ==="
 }
 
-# (queue empty)
+run python scripts/perf_lab.py trainroof
+run python scripts/perf_lab.py r5exact
+mkdir -p artifacts/bench_r05
+for i in 1 2 3; do
+  echo "=== bench run $i ==="
+  timeout 5400 env BENCH_BUDGET_S=4800 python bench.py 2>&1 \
+    | tee "artifacts/bench_r05/run$i.log"
+done
