@@ -3399,7 +3399,12 @@ def run_trainroof():
 
     hp = size // 2  # packed (s2d) resolution
 
-    def rnd(shape, d=dtype, scale=1.0, n=3):
+    # 4 distinct inputs >= k_big: no dispatch in a slope window repeats an
+    # earlier one, so axon cannot short-circuit it (the n=3 first run showed
+    # a 0.00 ms scale2 fwd — a deduped repeat).
+    N_IN = 4
+
+    def rnd(shape, d=dtype, scale=1.0, n=N_IN):
         return [
             jnp.asarray(rng_np.random(shape, dtype=np.float32) * scale, dtype=d)
             for _ in range(n)
@@ -3408,9 +3413,14 @@ def run_trainroof():
     def zipped(*lists):
         return [tuple(t) for t in zip(*lists)]
 
-    # ---- stage fns: fwd_fn(data_tuple, diff_params) -> diff outputs ----
-    def st_fullres(data, p):
-        (xp_,) = data
+    # ---- stage fns: fn(diff_inputs, nondiff_inputs, diff_params) ----
+    # diff/nondiff split mirrors the REAL step's backward: the batch x and
+    # anything derived from it by data-prep ops (s2d, resize, pool) is a
+    # LEAF — XLA never computes dL/dx there — so those tensors are nondiff
+    # here too (the first trainroof run differentiated them, inflating e.g.
+    # the loss stage with a spurious VGG(img_low) backward).
+    def st_fullres(diff, nondiff, p):
+        (xp_,) = nondiff
         x1p_ = jax.nn.relu(
             conv_s2d(xp_, pack_kernel_s1_t(p["input_layer"]["kernel"]),
                      bias=p["input_layer"]["bias"])
@@ -3418,13 +3428,13 @@ def run_trainroof():
         x2_, _ = pt._enc_block_train(x1p_, p["enc1"], ie_s["enc1"], model.use_preact)
         return x1p_, x2_
 
-    def st_enc2(data, p):
-        (x2p_,) = data
+    def st_enc2(diff, nondiff, p):
+        (x2p_,) = diff
         x3_, _ = pt._enc_block_train(x2p_, p, ie_s["enc2"], model.use_preact)
         return x3_
 
-    def st_inner(data, p):
-        (x3_,) = data
+    def st_inner(diff, nondiff, p):
+        (x3_,) = diff
         d3_, _ = model.apply(
             {"params": p, "batch_stats": stats},
             x3_,
@@ -3435,13 +3445,14 @@ def run_trainroof():
         )
         return d3_
 
-    def st_dec2(data, p):
-        d3_, x2p_ = data
+    def st_dec2(diff, nondiff, p):
+        d3_, x2p_ = diff
         dec2_out_, _ = pt._up_block_train(d3_, p, ie_s["dec2"])
         return d2s(dec2_out_ + x2p_)
 
-    def st_dec1(data, p):
-        d2_, x1p_, x_ = data
+    def st_dec1(diff, nondiff, p):
+        d2_, x1p_ = diff
+        (x_,) = nondiff
         dec1_out_, _ = pt._up_block_train(d2_, p["dec1"], ie_s["dec1"])
         d1p_ = dec1_out_ + x1p_
         r_ = jax.nn.relu(
@@ -3453,15 +3464,15 @@ def run_trainroof():
         mean_p_ = s2d(jnp.mean(x_, axis=-1, keepdims=True))
         return d2s(jax.nn.sigmoid(mean_p_ + res_p_))
 
-    def st_tower(data, p):
-        (inp,) = data
+    def st_tower(diff, nondiff, p):
+        (inp,) = nondiff  # both towers eat data-derived (leaf) inputs
         f = jax.nn.relu(
             conv_s2d(inp, pack_kernel_s1_t(p["conv"]["kernel"]), bias=p["conv"]["bias"])
         )
         return pt._fam_train(f, p["fam"])
 
-    def st_fusion(data, p):
-        f1p_, f2p_, f3_ = data
+    def st_fusion(diff, nondiff, p):
+        f1p_, f2p_, f3_ = diff
         f2_ = d2s(f2p_)
         f2ps_ = s2d_upsample_mxu(f2_, 4, mode=1).astype(dtype)
         f3ps_ = s2d_upsample_mxu(f3_, 16, mode=1).astype(dtype)
@@ -3473,52 +3484,19 @@ def run_trainroof():
                      bias=p["output_layer"]["bias"])
         ))
 
-    def st_loss(data, p):
-        x_, enhanced_, refl_, illu_ = data
-        del p
-        total, _, _ = criterion(x_, enhanced_, illu_, refl_, loss_state)
-        return total
+    def make_st_loss(crit):
+        def st_loss(diff, nondiff, p):
+            enhanced_, refl_, illu_ = diff
+            (x_,) = nondiff
+            del p
+            total, _, _ = crit(x_, enhanced_, illu_, refl_, loss_state)
+            return total
 
-    xs = rnd((batch, size, size, 3), jnp.float32, 0.6)
-    xps = [s2d(x).astype(dtype) for x in xs]
-    stages = [
-        ("full-res encode (in+enc1)", st_fullres, zipped(xps), ie),
-        ("enc2", st_enc2, zipped(rnd((batch, hp // 2, hp // 2, 256))), ie["enc2"]),
-        ("inner (enc3..dec3+ASPP, flax)", st_inner,
-         zipped(rnd((batch, hp // 2, hp // 2, 128))), params),
-        ("dec2 + skip", st_dec2,
-         zipped(rnd((batch, hp // 2, hp // 2, 128)),
-                rnd((batch, hp // 2, hp // 2, 256))), ie["dec2"]),
-        ("dec1 + illumination head", st_dec1,
-         zipped(rnd((batch, hp, hp, 64)), rnd((batch, hp, hp, 128)), xs), ie),
-        ("scale1 conv+FAM", st_tower, zipped(xps), params["scale1"]),
-        ("scale2 conv+FAM", st_tower,
-         zipped(rnd((batch, hp // 4, hp // 4, 12))), params["scale2"]),
-        ("fusion head", st_fusion,
-         zipped(rnd((batch, hp, hp, 128)),
-                rnd((batch, hp // 4, hp // 4, 128)),
-                rnd((batch, hp // 8, hp // 8, 32))), params),
-        ("7-loss criterion", st_loss,
-         zipped(xs, rnd((batch, size, size, 3), jnp.float32, 1.0),
-                rnd((batch, size, size, 3), jnp.float32, 1.0),
-                rnd((batch, size, size, 1), jnp.float32, 1.0)), None),
-    ]
+        return st_loss
 
-    built = []
-    for name, fn, datas, pa in stages:
-        fwd = jax.jit(lambda data, fn=fn, pa=pa: fn(data, pa))
-
-        def fb_(data, fn=fn, pa=pa):
-            out, pull = jax.vjp(fn, data, pa)
-            cts = jax.tree.map(jnp.ones_like, out)
-            g = pull(cts)
-            return sum(
-                jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(g)
-            )
-
-        built.append((name, fwd, jax.jit(fb_), datas))
-
-    # Context rows: the full packed train-mode forward and the full step.
+    # Context rows FIRST, alone on the chip: the full train step's working
+    # set is most of HBM at 640px b8 — measuring it with every stage's input
+    # list resident OOMed the first run.
     @jax.jit
     def full_fwd(x):
         (enh, _, _), _ = pt.packed_train_apply(model, params, stats, x, key)
@@ -3530,21 +3508,88 @@ def run_trainroof():
         _, loss_dict = step(state, x)
         return loss_dict["total"]
 
+    xs = rnd((batch, size, size, 3), jnp.float32, 0.6)
     results = {}
+    for name, fn in (("full packed fwd", full_fwd), ("full train step", full_step)):
+        for rep in range(3):
+            try:
+                results.setdefault(name, []).append(
+                    measure(f"[{rep}] {name}", fn, xs, k_big=4, batch=batch)
+                )
+            except Exception as e:
+                print(f"[{rep}] {name} FAILED: {type(e).__name__}: {e}", flush=True)
+    del step, full_step, full_fwd
+
+    # Loss-component variants (shipping = perceptual ON freq OFF): the first
+    # run put the criterion at fwd 55 / f+b 186 ms — a quarter of the step —
+    # so attribute WITHIN it too.
+    from retinex_tpu.train.trainer import build_criterion as _bc
+
+    crit_nop = _bc(Config(use_preact=True, use_aspp=True, use_amp=True,
+                          use_perceptual_loss=False))
+    crit_freq = _bc(Config(use_preact=True, use_aspp=True, use_amp=True,
+                           use_freq_loss=True))
+
+    xps = [s2d(x).astype(dtype) for x in xs]
+    loss_diff = zipped(
+        rnd((batch, size, size, 3), jnp.float32, 1.0),
+        rnd((batch, size, size, 3), jnp.float32, 1.0),
+        rnd((batch, size, size, 1), jnp.float32, 1.0),
+    )
+    loss_datas = [(d, (x,)) for d, x in zip(loss_diff, xs)]
+    stages = [
+        ("full-res encode (in+enc1)", st_fullres,
+         [((), (xp,)) for xp in xps], ie),
+        ("enc2", st_enc2,
+         [((a,), ()) for a in rnd((batch, hp // 2, hp // 2, 256))], ie["enc2"]),
+        ("inner (enc3..dec3+ASPP, flax)", st_inner,
+         [((a,), ()) for a in rnd((batch, hp // 2, hp // 2, 128))], params),
+        ("dec2 + skip", st_dec2,
+         [(d, ()) for d in zipped(rnd((batch, hp // 2, hp // 2, 128)),
+                                  rnd((batch, hp // 2, hp // 2, 256)))], ie["dec2"]),
+        ("dec1 + illumination head", st_dec1,
+         [(d, (x,)) for d, x in zip(zipped(rnd((batch, hp, hp, 64)),
+                                           rnd((batch, hp, hp, 128))), xs)], ie),
+        ("scale1 conv+FAM", st_tower,
+         [((), (xp,)) for xp in xps], params["scale1"]),
+        ("scale2 conv+FAM", st_tower,
+         [((), (a,)) for a in rnd((batch, hp // 4, hp // 4, 12))],
+         params["scale2"]),
+        ("fusion head", st_fusion,
+         [(d, ()) for d in zipped(rnd((batch, hp, hp, 128)),
+                                  rnd((batch, hp // 4, hp // 4, 128)),
+                                  rnd((batch, hp // 8, hp // 8, 32)))], params),
+        ("7-loss criterion", make_st_loss(criterion), loss_datas, None),
+        ("criterion, no perceptual", make_st_loss(crit_nop), loss_datas, None),
+        ("criterion + freq loss", make_st_loss(crit_freq), loss_datas, None),
+    ]
+
+    built = []
+    for name, fn, datas, pa in stages:
+        fwd = jax.jit(lambda data, fn=fn, pa=pa: fn(data[0], data[1], pa))
+
+        def fb_(data, fn=fn, pa=pa):
+            diff, nondiff = data
+            out, pull = jax.vjp(lambda d, p: fn(d, nondiff, p), diff, pa)
+            cts = jax.tree.map(jnp.ones_like, out)
+            g = pull(cts)
+            return sum(
+                jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(g)
+            )
+
+        built.append((name, fwd, jax.jit(fb_), datas))
+
     for rep in range(3):
         for name, fwd, fb, datas in built:
-            results.setdefault(name + " [fwd]", []).append(
-                measure(f"[{rep}] {name} fwd", fwd, datas, k_big=4, batch=batch)
-            )
-            results.setdefault(name + " [f+b]", []).append(
-                measure(f"[{rep}] {name} f+b", fb, datas, k_big=4, batch=batch)
-            )
-        results.setdefault("full packed fwd", []).append(
-            measure(f"[{rep}] full packed fwd", full_fwd, xs, k_big=4, batch=batch)
-        )
-        results.setdefault("full train step", []).append(
-            measure(f"[{rep}] full train step", full_step, xs, k_big=4, batch=batch)
-        )
+            try:
+                results.setdefault(name + " [fwd]", []).append(
+                    measure(f"[{rep}] {name} fwd", fwd, datas, k_big=4, batch=batch)
+                )
+                results.setdefault(name + " [f+b]", []).append(
+                    measure(f"[{rep}] {name} f+b", fb, datas, k_big=4, batch=batch)
+                )
+            except Exception as e:
+                print(f"[{rep}] {name} FAILED: {type(e).__name__}: {e}", flush=True)
 
     def flops_of(fn, sample):
         try:
@@ -3563,11 +3608,14 @@ def run_trainroof():
           "bwd = [f+b] - [fwd]) ---", flush=True)
 
     def med(key_):
-        ts = sorted(results[key_])
-        return ts[len(ts) // 2]
+        ts = sorted(results.get(key_, []))
+        return ts[len(ts) // 2] if ts else None
 
     for name, fwd, fb, datas in built:
         mf, mb = med(name + " [fwd]"), med(name + " [f+b]")
+        if mf is None or mb is None:
+            print(f"{name:32s} (no measurements)", flush=True)
+            continue
         bwd_ms = max(mb - mf, 1e-9)
         ff, fbf = flops_of(fwd, datas[0]), flops_of(fb, datas[0])
         if ff is not None and fbf is not None:
@@ -3585,9 +3633,10 @@ def run_trainroof():
                 f"bwd {bwd_ms * 1e3:7.2f} ms  (no cost analysis)",
                 flush=True,
             )
+    mfull, mstep = med("full packed fwd"), med("full train step")
     print(
-        f"{'full packed fwd':32s} {med('full packed fwd') * 1e3:7.2f} ms; "
-        f"{'full train step':20s} {med('full train step') * 1e3:7.2f} ms",
+        f"full packed fwd {mfull * 1e3 if mfull else float('nan'):7.2f} ms; "
+        f"full train step {mstep * 1e3 if mstep else float('nan'):7.2f} ms",
         flush=True,
     )
 
