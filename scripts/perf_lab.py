@@ -3725,6 +3725,103 @@ def run_r5exact():
         set_nb()
 
 
+@exp("r5loss")
+def run_r5loss():
+    """Follow-ups to the trainroof table (BENCH_NOTES r5): (a) per-loss
+    attribution of the criterion's 23.8 ms non-VGG forward at 640px b8 —
+    trainsplit's 256px 'losses are free' verdict does not transfer; (b) the
+    fusion head is the only backward stage under 20% MXU (15.2%, 7.4 ms) —
+    apply the forward lever inventory: ups_mode 0/1/2 on its s2d upsamples,
+    fwd and fwd+vjp, interleaved.
+    """
+    from retinex_tpu.losses import losses as L
+    from retinex_tpu.models.packed_inference import _interleave_packed
+    from retinex_tpu.ops.s2d import conv_s2d, d2s, pack_pointwise_t, s2d_upsample_mxu
+    from retinex_tpu.models.retinex_net import MultiScaleUPRetinex
+    from retinex_tpu.train.train_state import create_train_state
+
+    size = int(os.environ.get("RETINEX_PERF_SIZE", "640"))
+    batch = int(os.environ.get("RETINEX_PERF_BATCH", "8"))
+    dtype = jnp.bfloat16
+    rng_np = np.random.default_rng(0)
+
+    def rnd(shape, d=jnp.float32, n=4):
+        return [
+            jnp.asarray(rng_np.random(shape, dtype=np.float32), dtype=d)
+            for _ in range(n)
+        ]
+
+    xs = rnd((batch, size, size, 3))
+    enh = rnd((batch, size, size, 3))
+    illu = rnd((batch, size, size, 1))
+
+    loss_fns = [
+        ("exposure", lambda d: L.exposure_loss(d[0], d[1])),
+        ("smoothness (dynamic TV)", lambda d: L.smoothness_loss(d[2], d[1])),
+        ("color", lambda d: L.color_loss(d[0])),
+        ("spatial consistency", lambda d: L.spatial_consistency_loss(d[0], d[1])),
+        ("decoupling", lambda d: L.decoupling_loss(d[2], d[0])),
+        ("frequency (opt-in)", lambda d: L.frequency_loss(d[0], d[1])),
+    ]
+    datas = [tuple(t) for t in zip(enh, xs, illu)]
+    fns = [(name, jax.jit(f)) for name, f in loss_fns]
+    for rep in range(3):
+        for name, f in fns:
+            try:
+                measure(f"[{rep}] loss:{name}", f, datas, k_big=4, batch=batch)
+            except Exception as e:
+                print(f"[{rep}] loss:{name} FAILED: {e}", flush=True)
+
+    # (b) fusion-head ups_mode sweep, fwd + vjp.
+    model = MultiScaleUPRetinex(use_preact=True, use_aspp=True, dtype=dtype)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (2, 64, 64, 3), lambda s: 1e-4
+    )
+    p_fu = state.params["fusion"]
+    p_out = state.params["output_layer"]
+    hp = size // 2
+
+    def fusion(diff, mode):
+        f1p_, f2p_, f3_ = diff
+        f2_ = d2s(f2p_)
+        f2ps_ = s2d_upsample_mxu(f2_, 4, mode=mode).astype(dtype)
+        f3ps_ = s2d_upsample_mxu(f3_, 16, mode=mode).astype(dtype)
+        fused_ = _interleave_packed([f1p_, f2ps_, f3ps_], 32)
+        fused_ = conv_s2d(fused_, pack_pointwise_t(p_fu["kernel"]),
+                          bias=p_fu["bias"])
+        return d2s(jax.nn.sigmoid(
+            conv_s2d(fused_, pack_pointwise_t(p_out["kernel"]), bias=p_out["bias"])
+        ))
+
+    fdatas = [
+        tuple(t)
+        for t in zip(
+            rnd((batch, hp, hp, 128), dtype),
+            rnd((batch, hp // 4, hp // 4, 128), dtype),
+            rnd((batch, hp // 8, hp // 8, 32), dtype),
+        )
+    ]
+    fus = []
+    for mode in (0, 1, 2):
+        fwd = jax.jit(lambda d, m=mode: fusion(d, m))
+
+        def fb_(d, m=mode):
+            out, pull = jax.vjp(lambda dd: fusion(dd, m), d)
+            g = pull(jnp.ones_like(out))
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(g))
+
+        fus.append((mode, fwd, jax.jit(fb_)))
+    for rep in range(3):
+        for mode, fwd, fb in fus:
+            try:
+                measure(f"[{rep}] fusion ups_mode={mode} fwd", fwd, fdatas,
+                        k_big=4, batch=batch)
+                measure(f"[{rep}] fusion ups_mode={mode} f+b", fb, fdatas,
+                        k_big=4, batch=batch)
+            except Exception as e:
+                print(f"[{rep}] fusion mode={mode} FAILED: {e}", flush=True)
+
+
 def main():
     names = sys.argv[1:] or ["base"]
     if names == ["all"]:
