@@ -1,4 +1,4 @@
-"""Small spatial filters as XLA-fusable depthwise convolutions (NHWC).
+"""Small spatial filters as XLA-fusable shifted-slice correlations (NHWC).
 
 TPU-native replacements for the reference's OpenCV/scipy filtering:
 - Gaussian blur           (reference: enhancers/content_aware.py:50, cv2.GaussianBlur(15,15,0))
@@ -16,32 +16,41 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
-from jax import lax
+import numpy as np
 
 
 def _depthwise_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 2-D conv, NHWC, VALID padding. kernel: [kh, kw]."""
-    c = x.shape[-1]
+    """Depthwise 2-D correlation, NHWC, VALID padding, via SHIFTED SLICES.
+
+    These filters run on 1-3 channel tensors, and a C=1/C=3 NHWC
+    `conv_general_dilated` is a pathological TPU shape: the 3x3 Sobel on
+    [8,642,642,1] measured 21-22 ms on v5e while the identical arithmetic
+    as tap-weighted shifted slices (elementwise FMAs XLA fuses into one
+    VPU pass) runs in ~0.3-0.8 ms — a ~50x difference that made the
+    smoothness loss 9% of the whole 640px train step (perf_lab r5smooth,
+    max rel diff 2.1e-7 = f32 reassociation only; golden suites unchanged).
+    Accumulation is plain f32 FMA in fixed tap order — at least as exact as
+    the conv's Precision.HIGHEST path this replaces. kernel: [kh, kw].
+    """
     kh, kw = kernel.shape
-    k = jnp.broadcast_to(kernel.reshape(kh, kw, 1, 1), (kh, kw, 1, c)).astype(x.dtype)
-    return lax.conv_general_dilated(
-        x,
-        k,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        # Full f32 accumulation: backends otherwise run small convs at reduced
-        # internal precision, which breaks OpenCV/scipy golden parity.
-        precision=lax.Precision.HIGHEST,
-    )
+    h, w = x.shape[1], x.shape[2]
+    taps = np.asarray(kernel, dtype=np.float32)
+    out = None
+    for i in range(kh):
+        for j in range(kw):
+            t = float(taps[i, j])
+            if t == 0.0:
+                continue
+            piece = x[:, i : i + h - kh + 1, j : j + w - kw + 1, :] * t
+            out = piece if out is None else out + piece
+    return out
 
 
 def _reflect_pad(x: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect")
 
 
-def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> jnp.ndarray:
+def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
     """OpenCV getGaussianKernel semantics: sigma<=0 derives sigma from ksize."""
     if sigma <= 0:
         sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
@@ -49,7 +58,7 @@ def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> jnp.ndarray:
     xs = [i - half for i in range(ksize)]
     vals = [math.exp(-(v * v) / (2.0 * sigma * sigma)) for v in xs]
     s = sum(vals)
-    return jnp.asarray([v / s for v in vals], dtype=jnp.float32)
+    return np.asarray([v / s for v in vals], dtype=np.float32)
 
 
 def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray:
@@ -63,9 +72,9 @@ def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray
     return x
 
 
-_LAPLACIAN_K1 = jnp.asarray([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], dtype=jnp.float32)
-_SOBEL_X = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], dtype=jnp.float32)
-_SOBEL_Y = jnp.asarray([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]], dtype=jnp.float32)
+_LAPLACIAN_K1 = np.asarray([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], dtype=np.float32)
+_SOBEL_X = np.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], dtype=np.float32)
+_SOBEL_Y = np.asarray([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]], dtype=np.float32)
 
 
 def laplacian(x: jnp.ndarray) -> jnp.ndarray:
@@ -94,7 +103,7 @@ def sobel_edge_map(x: jnp.ndarray) -> jnp.ndarray:
 def box_filter(x: jnp.ndarray, ksize: int, normalize: bool = True) -> jnp.ndarray:
     """Separable box filter with zero padding (scipy 'constant' mode parity,
     reference: utils/utils.py:226 uses mode='constant')."""
-    k1 = jnp.full((ksize,), 1.0 / ksize if normalize else 1.0, dtype=jnp.float32)
+    k1 = np.full((ksize,), 1.0 / ksize if normalize else 1.0, dtype=np.float32)
     p = ksize // 2
     x = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))
     x = _depthwise_conv(x, k1.reshape(ksize, 1))
@@ -110,7 +119,7 @@ def uniform_filter(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
     which is jnp.pad mode='symmetric', unlike OpenCV's reflect-101.
     (reference: utils/utils.py:270-273 NIQE helper).
     """
-    k1 = jnp.full((ksize,), 1.0 / ksize, dtype=jnp.float32)
+    k1 = np.full((ksize,), 1.0 / ksize, dtype=np.float32)
     p_lo = ksize // 2
     p_hi = ksize - 1 - p_lo
     x = jnp.pad(x, ((0, 0), (p_lo, p_hi), (0, 0), (0, 0)), mode="symmetric")

@@ -3822,6 +3822,77 @@ def run_r5loss():
                 print(f"[{rep}] fusion mode={mode} FAILED: {e}", flush=True)
 
 
+@exp("r5smooth")
+def run_r5smooth():
+    """Why is smoothness_loss 22 ms at 640px b8 (r5loss — 9% of the train
+    step, vs ~0 for every other cheap loss)? Hypothesis: its Sobel runs as a
+    1-channel depthwise conv — a pathological TPU shape (C=1 NHWC conv).
+    Probe: the full loss, the sobel term alone, a shift-add separable sobel
+    (same correlation arithmetic as the conv, reassociated), and the full
+    loss with the shift-add sobel patched in; fwd and f+b, interleaved.
+    """
+    from retinex_tpu.losses import losses as L
+    from retinex_tpu.ops.filters import sobel_edge_map
+
+    size, batch = 640, 8
+    rng_np = np.random.default_rng(0)
+
+    def rnd(shape, n=4):
+        return [
+            jnp.asarray(rng_np.random(shape, dtype=np.float32)) for _ in range(n)
+        ]
+
+    xs = rnd((batch, size, size, 3))
+    illu = rnd((batch, size, size, 1))
+    datas = [tuple(t) for t in zip(illu, xs)]
+
+    def sobel_edge_map_shift(x):
+        gray = jnp.mean(x, axis=-1, keepdims=True)
+        xp = jnp.pad(gray, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        s = xp[:, :-2] + 2.0 * xp[:, 1:-1] + xp[:, 2:]
+        gx = s[:, :, 2:] - s[:, :, :-2]
+        d = xp[:, 2:] - xp[:, :-2]
+        gy = d[:, :, :-2] + 2.0 * d[:, :, 1:-1] + d[:, :, 2:]
+        return jnp.sqrt(gx * gx + gy * gy)
+
+    # parity of the shift form vs the conv form
+    a = np.asarray(jax.jit(sobel_edge_map)(xs[0]))
+    b_ = np.asarray(jax.jit(sobel_edge_map_shift)(xs[0]))
+    rel = np.abs(a - b_).max() / max(np.abs(a).max(), 1e-9)
+    print(f"sobel shift-vs-conv max rel diff: {rel:.2e}", flush=True)
+
+    def smooth_patched(d):
+        old = L.sobel_edge_map
+        L.sobel_edge_map = sobel_edge_map_shift
+        try:
+            return L.smoothness_loss(d[0], d[1])
+        finally:
+            L.sobel_edge_map = old
+
+    def fb(f):
+        def g(d):
+            out, pull = jax.vjp(lambda i: f((i, d[1])), d[0])
+            return jnp.sum(pull(jnp.ones_like(out))[0].astype(jnp.float32))
+
+        return g
+
+    base = lambda d: L.smoothness_loss(d[0], d[1])  # noqa: E731
+    variants = [
+        ("smoothness (conv sobel)", jax.jit(base)),
+        ("smoothness (shift sobel)", jax.jit(smooth_patched)),
+        ("sobel_edge_map conv only", jax.jit(lambda d: sobel_edge_map(d[1]))),
+        ("sobel shift only", jax.jit(lambda d: sobel_edge_map_shift(d[1]))),
+        ("smoothness f+b (conv)", jax.jit(fb(base))),
+        ("smoothness f+b (shift)", jax.jit(fb(smooth_patched))),
+    ]
+    for rep in range(3):
+        for name, f in variants:
+            try:
+                measure(f"[{rep}] {name}", f, datas, k_big=4, batch=batch)
+            except Exception as e:
+                print(f"[{rep}] {name} FAILED: {e}", flush=True)
+
+
 def main():
     names = sys.argv[1:] or ["base"]
     if names == ["all"]:
