@@ -6,23 +6,16 @@
 #   bash scripts/tpu_pending.sh 2>&1 | tee /tmp/tpu_pending.log
 #
 # Round-5 queue (in priority order; delete lines as they complete):
-#   1. perf_lab trainroof  — backward-pass roofline, 640px b8 packed bf16
-#   2. perf_lab r5exact    — exact-u8 band sweep + k_big calibration
-#   3. bench.py x3 with logs -> artifacts/bench_r05/run{1,2,3}.log
+#   [done] perf_lab trainroof — backward roofline (BENCH_NOTES r5 table)
+#   [done] perf_lab r5loss/r5smooth — smoothness-loss fix, +9.5% train
+#   [done] perf_lab r5exact — band sweep + k_big calibration
+#   1. bench.py x3 with logs -> artifacts/bench_r05/run{1,2,3}.log
 #      (VERDICT r4 item 2: the three-run record must be committed logs)
 
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 
-run() {
-  echo "=== $* ==="
-  timeout 3600 env "$@"
-  echo "=== exit $? ==="
-}
-
-run python scripts/perf_lab.py trainroof
-run python scripts/perf_lab.py r5exact
 mkdir -p artifacts/bench_r05
 for i in 1 2 3; do
   echo "=== bench run $i ==="
