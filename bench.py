@@ -104,8 +104,15 @@ def measure_group(variants, k_big=9, repeats=5):
 
     Returns {name: (median_seconds, spread)} with spread = (max-min)/median.
     """
-    for _, fn, inputs in variants:
-        _timed(fn, inputs, 1)
+    ok = []
+    for name, fn, inputs in variants:
+        try:
+            _timed(fn, inputs, 1)
+            ok.append((name, fn, inputs))
+        except Exception as e:  # e.g. a VMEM-infeasible variant (r5exact nb8)
+            print(f"# variant {name} dropped: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:140]}", flush=True)
+    variants = ok
     times = {name: [] for name, _, _ in variants}
     for _ in range(repeats):
         for name, fn, inputs in variants:
@@ -332,6 +339,19 @@ def bench_classical(on_tpu: bool):
     variants = [
         ("u8", clahe_rgb_u8_gather, inputs_u8),
         ("u8_planar", clahe_rgb_u8_planar_gather, inputs_planar),
+        # exact-Lab routing, decimated histograms (r5): full Lab parity path,
+        # only the tile histograms are subsampled — quality_exact_s2 pairs
+        # this speed with its PSNR vs exact (>>40 dB vs the luma modes' ~35).
+        (
+            "u8_planar_s2",
+            functools.partial(clahe_rgb_u8_planar_gather, hist_subsample=2),
+            inputs_planar,
+        ),
+        (
+            "u8_planar_s4",
+            functools.partial(clahe_rgb_u8_planar_gather, hist_subsample=4),
+            inputs_planar,
+        ),
         ("u8_luma_fast", clahe_luma_rgb_u8_planar, inputs_planar),
         (
             "u8_luma_fast_s2",
@@ -381,6 +401,13 @@ def bench_classical(on_tpu: bool):
             (
                 "u8_planar",
                 functools.partial(clahe_rgb_u8_planar_gather, tiles_x=16, tiles_y=16),
+                in4k,
+            ),
+            (
+                "u8_planar_s2",
+                functools.partial(
+                    clahe_rgb_u8_planar_gather, tiles_x=16, tiles_y=16, hist_subsample=2
+                ),
                 in4k,
             ),
             (
@@ -452,13 +479,19 @@ def _quality_main():
     ]
     photos = [p for p in photos if os.path.exists(p)]
 
-    exact = jax.jit(clahe_lab_rgb, static_argnames=("use_pallas",))
+    exact = jax.jit(clahe_lab_rgb, static_argnames=("use_pallas", "hist_subsample"))
     # (resolution tag, target shape, photo count) — one photo at 4K bounds
     # the CPU cost; relative quality is resolution-stable (BENCH_NOTES 4K:
     # per-pixel behavior matches 1080p).
     cases = [("1080p", (H, W), len(photos)), ("4k", (H4K, W4K), 1)]
     for tag, (th, tw), n in cases:
         us = {s: [] for s in (1, 2, 4)}
+        # exact-Lab routing with decimated histograms (r5): the SAME Lab
+        # pipeline as the parity reference, only the tile histograms are
+        # s x s-subsampled — the quality table shows the luma MODE switch
+        # costs ~29 dB while decimation alone costs <1 dB, so this is the
+        # high-quality fast point between exact s=1 and the luma modes.
+        ex = {s: [] for s in (2, 4)}
         for path in photos[:n]:
             img = decode_image(path)
             plan = plan_letterbox(img.shape[0], img.shape[1], (th, tw), auto=False)
@@ -475,14 +508,24 @@ def _quality_main():
                 us[s].append(
                     (float(psnr(fast, ref_out)), float(ssim(fast[0], ref_out[0])))
                 )
-        for s, vals in us.items():
-            emit(f"quality_{tag}_luma_s{s}_psnr_db", float(np.mean([v[0] for v in vals])), "dB")
-            emit(
-                f"quality_{tag}_luma_s{s}_ssim",
-                float(np.mean([v[1] for v in vals])),
-                "ssim",
-                digits=4,
-            )
+            for s in (2, 4):
+                es = exact(x, use_pallas=False, hist_subsample=s)
+                ex[s].append(
+                    (float(psnr(es, ref_out)), float(ssim(es[0], ref_out[0])))
+                )
+        for prefix, table in (("luma", us), ("exact", ex)):
+            for s, vals in table.items():
+                emit(
+                    f"quality_{tag}_{prefix}_s{s}_psnr_db",
+                    float(np.mean([v[0] for v in vals])),
+                    "dB",
+                )
+                emit(
+                    f"quality_{tag}_{prefix}_s{s}_ssim",
+                    float(np.mean([v[1] for v in vals])),
+                    "ssim",
+                    digits=4,
+                )
 
 
 def bench_quality():
@@ -492,7 +535,9 @@ def bench_quality():
 
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--quality"],
-        timeout=min(max(_remaining() - 120, 60), 900),
+        # ~8 min measured with the exact-s2/s4 lines (CPU, cold); cap with
+        # margin so a slow CPU day can't truncate the probe.
+        timeout=min(max(_remaining() - 120, 60), 1100),
         capture_output=True,
         text=True,
     )
