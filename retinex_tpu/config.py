@@ -94,14 +94,16 @@ class Config:
     # (enhancers/adaptive_params.py:149).
     clahe_clip_limit: float = 2.0
     clahe_tiles: int = 8
-    # Decimated-histogram speed knob for the clahe_luma mode only: estimate
-    # the tile histograms from a within-cell s x s subsample (clip/CDF scale
-    # follow the reduced area). 1 = exact histograms (default); 2 reads 1/4
-    # of the luma pixels at 46-51 dB PSNR vs exact on real photos
+    # Decimated-histogram speed knob for BOTH clahe modes: estimate the tile
+    # histograms from a within-cell s x s subsample (clip/CDF scale follow
+    # the reduced area). 1 = exact histograms (default). On the exact-parity
+    # Lab `clahe` route, s=2 keeps the full Lab pipeline and reads 52.5 dB /
+    # 0.9994 SSIM vs exact on real 1080p photos (s=4: 42.1 dB — bench.py
+    # quality_exact_* lines), the highest-quality fast point. On `clahe_luma`
+    # s=2 reads 46-51 dB vs the luma mode's own exact histograms
     # (tests/test_clahe_luma.py). Quality scales with the per-tile sample
     # count, so this is a LARGE-frame knob (>=720p); at thumbnail sizes the
-    # decimated histograms get noisy (~24 dB at 256px). Ignored by the
-    # exact-parity clahe mode.
+    # decimated histograms get noisy (~24 dB at 256px).
     clahe_hist_subsample: int = 1
     # Space-to-depth packed net inference (models/packed_inference.py): exact
     # up to float reassociation and strictly faster on TPU (16.6 vs 11.9 fps
