@@ -179,3 +179,25 @@ def test_enhance_hist_subsample_plumbing(tmp_path):
     want = clahe_luma_rgb(jnp.asarray(img), hist_subsample=2)
     np.testing.assert_allclose(np.asarray(o2), np.asarray(want), atol=1e-7)
     assert np.abs(np.asarray(o2) - np.asarray(o1)).max() > 0
+
+
+def test_enhance_exact_clahe_hist_subsample_plumbing(tmp_path):
+    """The same knob reaches the exact-Lab `clahe` route (PARITY #20 round-5
+    addendum: full Lab pipeline, decimated histogram input): the s=2 enhance
+    equals clahe_lab_rgb(hist_subsample=2) directly and differs from s=1."""
+    from retinex_tpu.infer.enhance import load_image
+    from retinex_tpu.ops.clahe import clahe_lab_rgb
+
+    src = "/root/reference/data/input/102708607-003694-003694.jpg"
+    img, _ = load_image(src, 128)
+    o1, _, _ = enhance_single_image(
+        None, src, str(tmp_path / "s1"), max_size=128, classical_mode="clahe",
+        use_pallas=False,
+    )
+    o2, _, _ = enhance_single_image(
+        None, src, str(tmp_path / "s2"), max_size=128, classical_mode="clahe",
+        use_pallas=False, hist_subsample=2,
+    )
+    want = clahe_lab_rgb(jnp.asarray(img), use_pallas=False, hist_subsample=2)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(want), atol=1e-7)
+    assert np.abs(np.asarray(o2) - np.asarray(o1)).max() > 0
