@@ -9,8 +9,11 @@
 #   [done] perf_lab trainroof — backward roofline (BENCH_NOTES r5 table)
 #   [done] perf_lab r5loss/r5smooth — smoothness-loss fix, +9.5% train
 #   [done] perf_lab r5exact — band sweep + k_big calibration
-#   1. bench.py x3 with logs -> artifacts/bench_r05/run{1,2,3}.log
-#      (VERDICT r4 item 2: the three-run record must be committed logs)
+#   [done] bench.py x3 with logs -> artifacts/bench_r05/run{1,2,3}.log
+#   [done] classical-only probe + group-composition A/B
+#          (artifacts/bench_r05/{classical_probe_0821,groupcomp_ab}.log)
+# Queue empty. The loop below is the template for new measurements: ONE
+# process at a time, generous timeouts, tee to a committed log.
 
 set -u
 cd "$(dirname "$0")/.."
